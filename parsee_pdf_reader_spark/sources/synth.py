@@ -1,0 +1,352 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Generates ``(url, warc_ts, html, text, lang)`` rows (BASELINE.json
+``input_hint``) where ``html`` carries PLD1 layout bytes (see
+:mod:`layout_codec`). Layouts are financial-report-flavoured to
+exercise every reference code path: wrapped paragraphs, two-column
+pages, right-aligned numeric tables with thousands separators and
+parenthesized negatives, bold captions, landscape pages, size-drift
+and ``)``-flush tokenization quirks (reference ``pdf_page.py:149-171``).
+
+Everything is a pure function of (key, seed): generation runs inside
+Arrow-batched kernels on executors, so corpus materialization scales
+horizontally with no driver involvement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from parsee_pdf_reader_spark.sources.layout_codec import (
+    Box,
+    Char,
+    KIND_CHARS,
+    KIND_TEXTBOX,
+    Page,
+    encode_document,
+)
+
+_NARROW = set("iljtf.,:;!|()[]'`")
+_WIDE = set("mwMW@%")
+
+_LEXICON = (
+    "total revenues net income operating expenses cash equivalents assets "
+    "liabilities equity shares outstanding diluted earnings per share cost "
+    "of goods sold gross profit margin interest expense tax provision "
+    "deferred research development segment reporting fiscal year quarter "
+    "ended december september consolidated statements balance sheet notes "
+    "thereto accompanying unaudited amounts thousands millions currency "
+    "translation adjustments comprehensive loss attributable shareholders "
+    "board directors audit committee internal controls material weakness "
+    "goodwill impairment amortization depreciation capital expenditures"
+).split()
+
+
+def char_width(ch: str, size: float) -> float:
+    if ch == " ":
+        return round(0.30 * size, 2)
+    if ch in _NARROW:
+        return round(0.30 * size, 2)
+    if ch in _WIDE:
+        return round(0.78 * size, 2)
+    if ch.isupper() or ch.isdigit():
+        return round(0.62 * size, 2)
+    return round(0.52 * size, 2)
+
+
+def _rng_for(key: str, seed: int) -> np.random.Generator:
+    h = hashlib.blake2b(f"{seed}:{key}".encode(), digest_size=8).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(h, "little")))
+
+
+def _line_chars(text: str, x: float, baseline: float, size: float,
+                bold: bool = False, y_jitter: float = 0.0) -> List[Char]:
+    chars = []
+    cx = x
+    for ch in text:
+        w = char_width(ch, size)
+        chars.append(
+            Char(round(cx, 2), round(cx + w, 2), round(baseline + y_jitter, 2),
+                 round(baseline + size + y_jitter, 2), size,
+                 bold and ch != " ", ch)
+        )
+        cx += w
+    return chars
+
+
+def _text_width(text: str, size: float) -> float:
+    return sum(char_width(ch, size) for ch in text)
+
+
+def _wrap(words: List[str], width: float, size: float) -> List[str]:
+    lines: List[str] = []
+    cur: List[str] = []
+    cur_w = 0.0
+    for w in words:
+        ww = _text_width(w, size)
+        add = ww if not cur else ww + char_width(" ", size)
+        if cur and cur_w + add > width:
+            lines.append(" ".join(cur))
+            cur = [w]
+            cur_w = ww
+        else:
+            cur.append(w)
+            cur_w += add
+    if cur:
+        lines.append(" ".join(cur))
+    return lines
+
+
+def _format_number(rng: np.random.Generator) -> str:
+    mag = int(10 ** rng.uniform(0.5, 6.5))
+    style = rng.integers(0, 10)
+    neg = rng.random() < 0.25
+    if style <= 4:  # comma thousands
+        s = f"{mag:,}"
+    elif style <= 6:  # dot thousands (EU)
+        s = f"{mag:,}".replace(",", ".")
+    elif style == 7:  # decimal
+        s = f"{mag / 100:,.2f}"
+    elif style == 8:  # decimal comma
+        s = f"{mag / 10:.1f}".replace(".", ",")
+    else:
+        s = str(mag)
+    if neg:
+        s = f"({s})" if rng.random() < 0.6 else f"—{s}"
+    if rng.random() < 0.08:
+        s += "%"
+    return s
+
+
+class _PageBuilder:
+    def __init__(self, width: float, height: float, top_margin: float = 40.0):
+        self.width = width
+        self.height = height
+        self.boxes: List[Box] = []
+        self.nat_lines: List[str] = []
+        self.y = height - top_margin  # top of next line block
+
+    def room(self, needed: float) -> bool:
+        return self.y - needed >= 40.0
+
+    def advance(self, dy: float):
+        self.y -= dy
+
+    def paragraph(self, words: List[str], x: float, col_width: float,
+                  size: float = 10.0, leading: float = 14.0,
+                  bold: bool = False, quirk: Optional[str] = None) -> bool:
+        lines = _wrap(words, col_width, size)
+        needed = len(lines) * leading
+        if not self.room(needed):
+            return False
+        box_lines = []
+        for i, ln in enumerate(lines):
+            baseline = self.y - size - i * leading
+            if quirk == "size_drift" and i == 0 and len(ln) > 12:
+                # one oversized char mid-line: harsh-break tokenization path
+                mid = len(ln) // 2
+                chars = _line_chars(ln[:mid], x, baseline, size, bold)
+                xc = chars[-1].x1 if chars else x
+                big = _line_chars(ln[mid], xc, baseline, size + 4.0, bold)
+                rest = _line_chars(ln[mid + 1:], big[-1].x1, baseline, size,
+                                   bold)
+                box_lines.append(chars + big + rest)
+            elif quirk == "y_drift" and i == 0 and len(ln) > 12:
+                mid = len(ln) // 2
+                chars = _line_chars(ln[:mid], x, baseline, size, bold)
+                xc = chars[-1].x1 if chars else x
+                sup = _line_chars(ln[mid], xc, baseline, size, bold,
+                                  y_jitter=3.0)
+                rest = _line_chars(ln[mid + 1:], sup[-1].x1, baseline, size,
+                                   bold)
+                box_lines.append(chars + sup + rest)
+            else:
+                box_lines.append(_line_chars(ln, x, baseline, size, bold))
+            self.nat_lines.append(ln)
+        self.boxes.append(Box(KIND_TEXTBOX, lines=box_lines))
+        self.advance(needed)
+        return True
+
+    def table(self, rng: np.random.Generator, x_caption: float,
+              col_rights: List[float], n_rows: int, header: bool = True,
+              size: float = 10.0, leading: float = 14.0) -> bool:
+        needed = (n_rows + (1 if header else 0)) * leading
+        if not self.room(needed):
+            return False
+        row_lines: List[List[Char]] = []
+        if header:
+            baseline = self.y - size
+            chars: List[Char] = []
+            parts = []
+            year0 = int(rng.integers(2019, 2025))
+            for k, cr in enumerate(col_rights):
+                txt = str(year0 - k)
+                w = _text_width(txt, size)
+                chars += _line_chars(txt, cr - w, baseline, size, True)
+                chars += _line_chars(" ", cr, baseline, size)
+                parts.append(txt)
+            row_lines.append(chars)
+            self.nat_lines.append(" ".join(parts))
+            self.advance(leading)
+        for _ in range(n_rows):
+            baseline = self.y - size
+            n_words = int(rng.integers(1, 4))
+            cap_words = [
+                _LEXICON[int(rng.integers(0, len(_LEXICON)))]
+                for _ in range(n_words)
+            ]
+            cap = " ".join(cap_words)
+            if rng.random() < 0.3:
+                cap = cap.capitalize()
+            bold = rng.random() < 0.2
+            chars = _line_chars(cap, x_caption, baseline, size, bold)
+            chars += _line_chars(" ", chars[-1].x1, baseline, size)
+            parts = [cap]
+            for cr in col_rights:
+                if rng.random() < 0.12:
+                    continue  # empty cell
+                val = _format_number(rng)
+                w = _text_width(val, size)
+                chars += _line_chars(val, cr - w, baseline, size)
+                chars += _line_chars(" ", cr, baseline, size)
+                parts.append(val)
+            row_lines.append(chars)
+            self.nat_lines.append(" ".join(parts))
+            self.advance(leading)
+        self.boxes.append(Box(KIND_TEXTBOX, lines=row_lines))
+        return True
+
+    def to_page(self) -> Page:
+        return Page((0.0, 0.0, self.width, self.height),
+                    "\n".join(self.nat_lines), self.boxes)
+
+
+def _doc_words(rng: np.random.Generator, text: Optional[str]) -> List[str]:
+    if text:
+        words = [w for w in text.split() if w][:4000]
+        if len(words) >= 30:
+            return words
+    n = int(rng.integers(120, 600))
+    return [_LEXICON[int(rng.integers(0, len(_LEXICON)))] for _ in range(n)]
+
+
+def build_document(key: str, seed: int = 42,
+                   text: Optional[str] = None) -> Tuple[bytes, str]:
+    """Build one deterministic document; returns (PLD1 bytes, doc text)."""
+    rng = _rng_for(key, seed)
+    words = _doc_words(rng, text)
+    n_pages = int(rng.choice([1, 1, 1, 2, 2, 3]))
+    pages: List[Page] = []
+    wpos = 0
+
+    def take(n: int) -> List[str]:
+        nonlocal wpos
+        out = [words[(wpos + i) % len(words)] for i in range(n)]
+        wpos += n
+        return out
+
+    for _ in range(n_pages):
+        landscape = rng.random() < 0.12
+        width, height = (792.0, 612.0) if landscape else (612.0, 792.0)
+        pb = _PageBuilder(width, height)
+        layout = rng.choice(["plain", "plain", "table", "table", "mixed",
+                             "twocol"])
+        if layout == "twocol":
+            col_w = (width - 120.0) / 2
+            for x in (45.0, 45.0 + col_w + 30.0):
+                pb.y = height - 40.0
+                while pb.room(60.0) and rng.random() < 0.85:
+                    quirk = None
+                    if rng.random() < 0.1:
+                        quirk = str(rng.choice(["size_drift", "y_drift"]))
+                    pb.paragraph(take(int(rng.integers(20, 60))), x, col_w,
+                                 quirk=quirk)
+                    pb.advance(28.0)
+        else:
+            while pb.room(80.0):
+                r = rng.random()
+                want_table = (layout == "table" and r < 0.6) or (
+                    layout == "mixed" and r < 0.35)
+                if want_table:
+                    n_cols = int(rng.integers(2, 6))
+                    right0 = width * (0.52 + rng.random() * 0.08)
+                    step = min(80.0, (width - 60.0 - right0) / max(n_cols - 1,
+                                                                   1))
+                    col_rights = [round(right0 + k * step, 1)
+                                  for k in range(n_cols)]
+                    pb.table(rng, 45.0, col_rights,
+                             n_rows=int(rng.integers(4, 13)),
+                             header=rng.random() < 0.8)
+                else:
+                    quirk = None
+                    rq = rng.random()
+                    if rq < 0.08:
+                        quirk = "size_drift"
+                    elif rq < 0.14:
+                        quirk = "y_drift"
+                    bold = rng.random() < 0.1
+                    pb.paragraph(take(int(rng.integers(15, 80))), 45.0,
+                                 width - 90.0, bold=bold, quirk=quirk)
+                pb.advance(28.0)
+                if rng.random() < 0.25:
+                    break
+        if rng.random() < 0.06:
+            # loose char stream (the reference's raw-LTChar path,
+            # pdf_page.py:209-273)
+            line = " ".join(take(6))
+            chars = _line_chars(line, 45.0, max(pb.y - 10.0, 41.0), 10.0)
+            pb.boxes.append(Box(KIND_CHARS, lines=[chars]))
+            pb.nat_lines.append(line)
+        pages.append(pb.to_page())
+
+    doc_text = "\n".join(p.natural_text or "" for p in pages)
+    return encode_document(pages), doc_text
+
+
+# ---------------------------------------------------------------------------
+# Spark-side corpus materialization
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+
+def synthesize_pages_df(spark, docs_df, seed: int = 42):
+    """documents(doc_id, text, lang, ...) -> Common-Crawl-style pages table.
+
+    Runs the generator inside ``mapInPandas`` so corpus bytes are
+    produced on executors in parallel (no driver materialization, no
+    shuffle — a pure map over the documents scan)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            urls, blobs, texts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                key = f"doc{int(doc_id)}"
+                host = int(doc_id) % 97  # Zipf-ish host collisions
+                url = f"https://host{host}.example/{key}.pdf"
+                blob, doc_text = build_document(key, seed, text)
+                urls.append(url)
+                blobs.append(blob)
+                texts.append(doc_text)
+            out = pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": pd.Timestamp("2025-06-01")
+                    + pd.to_timedelta(pdf["doc_id"] % 86400, unit="s"),
+                    "html": blobs,
+                    "text": texts,
+                    "lang": pdf["lang"].fillna("en"),
+                }
+            )
+            yield out
+
+    cols = docs_df.select("doc_id", "text", "lang")
+    return cols.mapInPandas(gen, schema=PAGES_SCHEMA)
