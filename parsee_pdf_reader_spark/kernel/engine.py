@@ -1,0 +1,1476 @@
+"""Per-document layout-extraction pipeline (the Arrow-kernel body).
+
+A from-scratch implementation of the reference's per-page dataflow
+(parsee-pdf-reader, /root/reference) re-expressed over flat records:
+
+    char stream -> word tokens (G1, pdf_page.py:107-288)
+    -> row clustering (G2/G3, pdf_page.py:290-420)
+    -> numeric column detection (G5, pdf_page.py:422-451)
+    -> unbroken vertical runs (G7/G8/G9, pdf_page.py:453-610)
+    -> table groups (G10, pdf_page.py:612-713)
+    -> caption-column selection + line items (T1, pdf_page.py:741-842)
+    -> value-grid pivot + densify + split + dedup (T2-T6,
+       pdf_page.py:844-956, custom_dataclasses.py:876-1036)
+    -> text/table reconciliation (T7, pdf_page.py:958-1022)
+    -> paragraph assembly + text synthesis (G11/G12, extract.py:14-68,
+       custom_dataclasses.py:852-860)
+
+Byte-identity with the reference is part of the contract (BASELINE.json
+``north_rule``); order-sensitive tie-breaks of the reference's greedy
+clustering are therefore reproduced deliberately — each is cited at the
+point it occurs. The code is freshly structured (flat Tok/Cell/Zone
+records, explicit tolerance arguments, no object graph, no deepcopies
+of whole pages) and is ~10x faster than the reference single-threaded.
+
+Everything here is per-page pure computation on small collections
+(10^2-10^3 tokens); document-level parallelism is supplied by Spark via
+``mapInPandas`` (see pipeline.py) — this module has no Spark imports.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from parsee_pdf_reader_spark.kernel.model import (
+    Cell,
+    Tok,
+    Zone,
+    box_collides,
+    box_inside,
+    h_inside,
+    h_overlap,
+    v_overlap,
+    value_in,
+    x_distance,
+)
+from parsee_pdf_reader_spark.kernel import scalars_py as sc
+from parsee_pdf_reader_spark.sources import layout_codec as codec
+
+# --- engine tolerances (reference custom_dataclasses.py:11-32) ---
+SPACE_MAX_DISTANCE = 6
+TOLERANCE_GEN = 10
+PAGE_WIDTH_NORMAL = 594
+PAGE_WIDTH_HORIZONTAL = 1200
+CHAR_DIST_MAX = 1
+LINE_BREAK_DISTANCE = 20
+SEPARATE_COLUMNS_DISTANCE = 150
+SEPARATE_COLUMNS_DISTANCE_WIDE = 250
+SEPARATE_TABLE_DISTANCE = 200
+TEXT_MAX_NUMBER_COL = 15
+TOLERANCE_COLUMNS_LI = 20
+
+# paragraph pass overrides (extract.py:85: PdfReaderConfig(20, 10, 6))
+PARA_SPACE_MAX = 20
+PARA_GROUP_TOLERANCE = 10  # hardcoded at extract.py:19
+PARA_LINE_BREAK = 6
+
+
+class KernelTableError(Exception):
+    """Raised where the reference raises (ragged grids etc.,
+    custom_dataclasses.py:909/924); surfaces as an error row."""
+
+
+# ---------------------------------------------------------------------------
+# G1 — tokenization (pdf_page.py:107-288)
+# ---------------------------------------------------------------------------
+
+_FLUSH_CHARS = (" ", "\t", ")")
+
+
+def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
+    """stream items: ('box', lines), ('char', Char), ('rect', (x0,x1,y0,y1)).
+
+    Reproduces both reference tokenizer paths including the quirks:
+    flush chars, the ``)``-append (pdf_page.py:168-171), harsh breaks on
+    y/size drift, token y from its first char, raw-char-path distance
+    breaks against the previous *stream element* (pdf_page.py:221-227).
+    """
+    toks: List[Tok] = []
+    nontext: List[Tok] = []
+
+    # stream-level accumulator (shared by the raw-char path)
+    a_text = ""
+    a_x0 = a_x1 = a_y0 = a_y1 = None
+    a_bold = False
+    ref_char = None
+    last_char = None
+    brk = False
+
+    def emit():
+        if a_text != "" and a_x0 is not None and a_x1 is not None:
+            toks.append(
+                Tok(int(a_x0 * mult), int(a_x1 * mult), int(a_y0 * mult),
+                    int(a_y1 * mult), a_text, a_bold)
+            )
+
+    # per-item (x1, y1) of the preceding stream element, for the
+    # raw-char path's distance breaks
+    bounds = []
+    for item in stream:
+        if item[0] == "box":
+            xs = [c.x1 for ln in item[1] for c in ln]
+            ys = [c.y1 for ln in item[1] for c in ln]
+            bounds.append((max(xs, default=0), max(ys, default=0)))
+        elif item[0] == "char":
+            bounds.append((item[1].x1, item[1].y1))
+        else:
+            r = item[1]
+            bounds.append((r[1], r[3]))
+
+    n_items = len(stream)
+    for idx, item in enumerate(stream):
+        kind = item[0]
+        if kind == "box":
+            for line in item[1]:
+                if not "".join(c.text for c in line).strip():
+                    continue
+                # fresh accumulator per non-empty line (pdf_page.py:135-145)
+                a_text = ""
+                a_x0 = a_x1 = a_y0 = a_y1 = None
+                a_bold = False
+                r_y0 = r_y1 = r_sz = None
+                brk = False
+                last_ci = len(line) - 1
+                for ci, c in enumerate(line):
+                    t = c.text
+                    if t not in _FLUSH_CHARS:
+                        if r_y0 is None:
+                            r_y0, r_y1, r_sz = c.y0, c.y1, c.size
+                        elif (abs(r_y0 - c.y0) > 1 or abs(r_y1 - c.y1) > 1
+                              or abs(r_sz - c.size) > 3):
+                            brk = True
+                        if not brk:
+                            if a_x0 is None or a_x0 > c.x0:
+                                a_x0 = c.x0
+                            if a_x1 is None or a_x1 < c.x1:
+                                a_x1 = c.x1
+                            if a_y0 is None:
+                                a_y0 = c.y0
+                            if a_y1 is None:
+                                a_y1 = c.y1
+                            a_text += t
+                            if c.bold:
+                                a_bold = True
+                    if t in _FLUSH_CHARS or brk:
+                        if t == ")":
+                            a_text += ")"
+                            a_x1 = c.x1
+                        emit()
+                        a_bold = False
+                        if not brk:
+                            a_text = ""
+                            a_x0 = a_x1 = a_y0 = a_y1 = None
+                        else:
+                            a_text = t
+                            a_x0, a_x1, a_y0, a_y1 = c.x0, c.x1, c.y0, c.y1
+                            if c.bold:
+                                a_bold = True
+                        r_y0 = r_y1 = r_sz = None
+                        brk = False
+                    if ci == last_ci and a_text != "" and a_x0 is not None \
+                            and a_x1 is not None:
+                        emit()
+                        a_text = ""
+                        a_x0 = a_x1 = a_y0 = a_y1 = None
+        elif kind == "char":
+            c = item[1]
+            t = c.text
+            if t not in _FLUSH_CHARS:
+                if ref_char is None:
+                    ref_char = c
+                elif (abs(ref_char.y0 - c.y0) > 1
+                      or abs(ref_char.y1 - c.y1) > 1
+                      or abs(ref_char.size - c.size) > 3):
+                    brk = True
+                if idx > 0 and abs(c.y1 - bounds[idx - 1][1]) > 1:
+                    brk = True
+                if idx > 0 and (
+                    abs(c.x0 - bounds[idx - 1][0]) > CHAR_DIST_MAX
+                    or (last_char is not None
+                        and abs(c.x0 - last_char.x1) > CHAR_DIST_MAX)
+                ):
+                    brk = True
+                if not brk:
+                    if a_x0 is None or a_x0 > c.x0:
+                        a_x0 = c.x0
+                    if a_x1 is None or a_x1 < c.x1:
+                        a_x1 = c.x1
+                    if a_y0 is None:
+                        a_y0 = c.y0
+                    if a_y1 is None:
+                        a_y1 = c.y1
+                    a_text += t
+                    if c.bold:
+                        a_bold = True
+                last_char = c
+            if t in _FLUSH_CHARS or brk:
+                if t == ")":
+                    a_text += ")"
+                    a_x1 = c.x1
+                emit()
+                a_bold = False
+                if not brk:
+                    a_text = ""
+                    a_x0 = a_x1 = a_y0 = a_y1 = None
+                else:
+                    a_text = t
+                    a_x0, a_x1, a_y0, a_y1 = c.x0, c.x1, c.y0, c.y1
+                    a_bold = c.bold
+                ref_char = None
+                brk = False
+            if idx == n_items - 1 and a_text != "" and a_x0 is not None \
+                    and a_x1 is not None:
+                emit()
+        else:  # non-text rect: flush pending token, divert (pdf_page.py:274-288)
+            if a_text != "" and a_x0 is not None and a_x1 is not None:
+                emit()
+                a_text = ""
+                a_x0 = a_x1 = a_y0 = a_y1 = None
+            r = item[1]
+            nontext.append(
+                Tok(int(r[0] * mult), int(r[1] * mult), int(r[2] * mult),
+                    int(r[3] * mult), "", False)
+            )
+    return toks, nontext
+
+
+# ---------------------------------------------------------------------------
+# G2 — 1-D tolerance clustering (pdf_page.py:28-66, 290-354)
+# ---------------------------------------------------------------------------
+
+def _aligned_collision(list_a, list_b, new_pos, axis: str) -> bool:
+    """Simulated-alignment collision veto (pdf_page.py:28-66): align the
+    bucket-key coordinate of every member of both lists to ``new_pos``
+    (shifting the opposite edge), then test all A x B pairs with
+    BaseElement.collides_with's 1pt shrink on A
+    (custom_dataclasses.py:326-341), skipping value-identical pairs."""
+
+    def shifted(el):
+        if axis == "y0":
+            d = new_pos - el.y0
+            return (el.x0, el.x1, new_pos, el.y1 + d)
+        d = new_pos - el.x1
+        return (el.x0 + d, new_pos, el.y0, el.y1)
+
+    shifted_b = [(shifted(e), e.text) for e in list_b]
+    for ea in list_a:
+        ax0, ax1, ay0, ay1 = shifted(ea)
+        ra = (round(ax0), round(ax1), round(ay0), round(ay1))
+        for (bb, bt) in shifted_b:
+            if ea.text == bt and ra == (round(bb[0]), round(bb[1]),
+                                        round(bb[2]), round(bb[3])):
+                continue
+            if not (ax0 + 1 > bb[1] or ax1 - 1 < bb[0]) and not (
+                    ay1 - 1 < bb[2] or ay0 + 1 > bb[3]):
+                return True
+    return False
+
+
+def merge_aligned(buckets: Dict, tol: int, agg: str,
+                  collision_axis: Optional[str]) -> Dict:
+    """Nearest-distance-first agglomerative merge of 1-D buckets
+    (pdf_page.py:290-354). ``buckets``: key -> {'c', 'agg', 'list'};
+    larger-count bucket keeps its key (ties -> second key); the
+    secondary statistic merges by min or max per ``agg``; optional
+    collision veto leaves both buckets alive."""
+    keys = list(buckets.keys())
+    if len(keys) <= 1:
+        return buckets
+    by_dist: Dict[int, List[Tuple]] = {}
+    for a in range(len(keys)):
+        for b in range(a + 1, len(keys)):
+            d = abs(keys[a] - keys[b])
+            if d <= tol:
+                by_dist.setdefault(d, []).append((keys[a], keys[b]))
+    dead = set()
+    for d in sorted(by_dist):
+        for ka, kb in by_dist[d]:
+            if ka in dead or kb in dead:
+                continue
+            taken = ka if buckets[ka]["c"] > buckets[kb]["c"] else kb
+            rej = ka if taken == kb else kb
+            if collision_axis is not None and _aligned_collision(
+                    buckets[taken]["list"], buckets[rej]["list"], taken,
+                    collision_axis):
+                continue
+            dead.add(rej)
+            bt, br = buckets[taken], buckets[rej]
+            bt["c"] += br["c"]
+            if agg == "max":
+                if br["agg"] > bt["agg"]:
+                    bt["agg"] = br["agg"]
+            else:
+                if br["agg"] < bt["agg"]:
+                    bt["agg"] = br["agg"]
+            bt["list"] += br["list"]
+    return {k: v for k, v in buckets.items() if k not in dead}
+
+
+# ---------------------------------------------------------------------------
+# G3/G4 — rows + cell fusion (pdf_page.py:356-420)
+# ---------------------------------------------------------------------------
+
+def find_rows(toks: List[Tok]) -> List[Dict]:
+    buckets: Dict[int, Dict] = {}
+    for t in toks:
+        k = math.floor(t.y0)
+        b = buckets.get(k)
+        if b is None:
+            b = buckets[k] = {"c": 0, "agg": None, "list": []}
+        b["c"] += 1
+        y1c = math.ceil(t.y1)
+        if b["agg"] is None or b["agg"] < y1c:
+            b["agg"] = y1c
+        b["list"].append(t)
+    merged = merge_aligned(buckets, TOLERANCE_GEN, "max", "y0")
+    rows = []
+    for k, b in merged.items():
+        rows.append({"y0": k, "y1": b["agg"],
+                     "toks": sorted(b["list"], key=lambda t: t.x0)})
+    rows.sort(key=lambda r: -r["y0"])
+    for i, r in enumerate(rows):
+        for t in r["toks"]:
+            t.row = i
+    return rows
+
+
+def grow_cell(cell: Cell, row_toks: List[Tok], exclude: List,
+              handled: List, space_max: int) -> List:
+    """Bidirectional x-gap fusion with restart-on-add
+    (pdf_page.py:356-374); membership tests are value-identity."""
+    restart = True
+    while restart:
+        restart = False
+        for cand in row_toks:
+            if (value_in(cand, cell.members) or value_in(cand, exclude)
+                    or value_in(cand, handled)):
+                continue
+            if abs(cand.x0 - cell.x1) <= space_max and cand.x1 > cell.x1:
+                cell.add(cand)
+                handled.append(cand)
+                restart = True
+                break
+            if abs(cell.x0 - cand.x1) <= space_max and cand.x0 < cell.x0:
+                cell.add(cand)
+                handled.append(cand)
+                restart = True
+                break
+    return handled
+
+
+def build_cells(rows: List[Dict]):
+    """Per-row base elements; the reference threads the *previous*
+    group's handled list in as the exclusion set (pdf_page.py:411-420
+    quirk) — reproduced."""
+    for r in rows:
+        cells = []
+        handled: List = []
+        for t in r["toks"]:
+            if any(t is h for h in handled):
+                continue
+            exclude = handled
+            cell = Cell([t])
+            handled = grow_cell(cell, r["toks"], exclude, [t],
+                                SPACE_MAX_DISTANCE)
+            cells.append(cell)
+        r["cells"] = cells
+
+
+# ---------------------------------------------------------------------------
+# G5/G6 — column detection (pdf_page.py:422-451, 715-739)
+# ---------------------------------------------------------------------------
+
+def find_numeric_cols(toks: List[Tok], min_row_limit: int = 1) -> List[Dict]:
+    buckets: Dict[int, Dict] = {}
+    for t in toks:
+        if sc.is_number_cell(t.text):
+            k = math.ceil(t.x1)
+            b = buckets.get(k)
+            if b is None:
+                b = buckets[k] = {"c": 0, "agg": None, "list": []}
+            b["c"] += 1
+            x0f = math.floor(t.x0)
+            if b["agg"] is None or b["agg"] > x0f:
+                b["agg"] = x0f
+            b["list"].append(t)
+    merged = merge_aligned(buckets, TOLERANCE_GEN, "min", "x1")
+    cols = []
+    for k, b in merged.items():
+        if b["c"] > min_row_limit:
+            cols.append({"x0": b["agg"], "x1": k, "toks": b["list"]})
+    cols.sort(key=lambda c: c["x0"])
+    return cols
+
+
+def find_text_cols(cells: List[Cell], tol: int) -> List[Dict]:
+    buckets: Dict[int, Dict] = {}
+    for c in cells:
+        k = math.floor(c.x0)
+        b = buckets.get(k)
+        if b is None:
+            b = buckets[k] = {"c": 0, "agg": None, "list": []}
+        b["c"] += 1
+        x1c = math.ceil(c.x1)
+        if b["agg"] is None or b["agg"] < x1c:
+            b["agg"] = x1c
+        b["list"].append(c)
+    merged = merge_aligned(buckets, tol, "max", None)
+    cols = []
+    for k, b in merged.items():
+        cols.append({"x0": k, "x1": b["agg"], "cells": b["list"]})
+    cols.sort(key=lambda c: c["x0"])
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# G7 — unbroken vertical runs (pdf_page.py:453-522)
+# ---------------------------------------------------------------------------
+
+class _Probe:
+    __slots__ = ("x0", "x1", "y0", "y1")
+
+    def __init__(self, x0, x1, y0, y1):
+        self.x0 = x0
+        self.x1 = x1
+        self.y0 = y0
+        self.y1 = y1
+
+
+def find_runs(cols: List[Dict], rows: List[Dict]):
+    all_col_toks: List[Tok] = []
+    for col in cols:
+        all_col_toks += col["toks"]
+    for col in cols:
+        filtered: List[Tok] = []
+        for t in col["toks"]:
+            cell = Cell([t])
+            grow_cell(cell, rows[t.row]["toks"], all_col_toks, [t],
+                      SPACE_MAX_DISTANCE)
+            if sc.is_number_cell(cell.text) or \
+                    len(cell.text) <= TEXT_MAX_NUMBER_COL:
+                filtered.append(t)
+        runs: List[Zone] = []
+        els = sorted(filtered, key=lambda t: -t.y1)
+        start_y = None
+        count = 0
+        run_list: List[Tok] = []
+        prev = None
+        last_i = len(els) - 1
+        for i, t in enumerate(els):
+            count += 1
+            run_list.append(t)
+            if count >= 2 and start_y is None and prev is not None:
+                start_y = prev.y1
+            if start_y is not None and prev is not None:
+                gap = _Probe(col["x0"], col["x1"], t.y1, prev.y0)
+                broke = False
+                for r in rows:
+                    if (gap.y1 + TOLERANCE_GEN >= r["y0"]
+                            >= gap.y0 - TOLERANCE_GEN) or (
+                            gap.y1 + TOLERANCE_GEN >= r["y1"]
+                            >= gap.y0 - TOLERANCE_GEN):
+                        for cell in r["cells"]:
+                            usable = not any(
+                                any(m is ft for ft in filtered)
+                                for m in cell.members)
+                            if usable and box_collides(gap, cell, 3) and \
+                                    not box_inside(gap, cell, 3):
+                                if count > 2:
+                                    ua = Zone(col["x0"], col["x1"],
+                                              prev.y0, start_y)
+                                    ua.members = run_list[:-1]
+                                    runs.append(ua)
+                                start_y = t.y1
+                                count = 1
+                                run_list = [t]
+                                broke = True
+                                break
+                    if broke:
+                        break
+                if i == last_i and count >= 2 and prev is not None \
+                        and start_y is not None:
+                    ua = Zone(col["x0"], col["x1"], t.y0, start_y)
+                    ua.members = run_list
+                    runs.append(ua)
+            prev = t
+        col["runs"] = runs
+
+
+# ---------------------------------------------------------------------------
+# G8 — run extension (pdf_page.py:524-572)
+# ---------------------------------------------------------------------------
+
+def extend_run(run: Zone, rows: List[Dict], upwards: bool, row_idx: int,
+               init: bool, limit: Optional[int]):
+    if init:
+        if row_idx == 0:
+            return
+        if row_idx == len(rows) - 1:
+            return
+        row_idx = row_idx - 1 if upwards else row_idx + 1
+    else:
+        if row_idx < 0 or row_idx > len(rows) - 1:
+            return
+    if limit is not None:
+        if upwards and row_idx <= limit:
+            return
+        if not upwards and row_idx >= limit:
+            return
+    r = rows[row_idx]
+    if upwards:
+        probe = _Probe(run.x0, run.x1, run.y0, r["y1"])
+    else:
+        probe = _Probe(run.x0, run.x1, r["y0"], run.y1)
+    for cell in r["cells"]:
+        if box_collides(probe, cell, run.tol) and \
+                not box_inside(probe, cell, run.tol) and \
+                sc.letter_len(cell.text) > 2:
+            return
+    if upwards:
+        run.y1 = r["y1"]
+        nxt = row_idx - 1
+    else:
+        run.y0 = r["y0"]
+        nxt = row_idx + 1
+    extend_run(run, rows, upwards, nxt, False, limit)
+
+
+# ---------------------------------------------------------------------------
+# G9 — blank-line breaking (pdf_page.py:596-610, custom_dataclasses.py:426-458)
+# ---------------------------------------------------------------------------
+
+def break_at_horizontal(run: Zone, bp: int) -> Optional[Zone]:
+    if bp >= run.y1 or bp <= run.y0:
+        return None
+    former_y0 = run.y0
+    run.y0 = bp
+    new = Zone(run.x0, run.x1, former_y0, bp)
+    keep, moved = [], []
+    for el in run.members:
+        if not box_inside(run, el, run.tol):
+            moved.append(el)
+        else:
+            keep.append(el)
+    run.members = keep
+    new.members = moved
+    run.refit_x_only()
+    new.refit_x_only()
+    return new
+
+
+def break_runs_at_blank_lines(cols_cand: List[Dict], rows: List[Dict]):
+    for k in range(1, len(rows)):
+        dist = rows[k - 1]["y0"] - rows[k]["y1"]
+        if dist >= LINE_BREAK_DISTANCE:
+            bp_start = rows[k - 1]["y0"]
+            bp_end = rows[k]["y1"]
+            for col in cols_cand:
+                to_add = []
+                for run in col["runs"]:
+                    new = break_at_horizontal(run, bp_start)
+                    if new is not None:
+                        # shave the gap off the new piece ("top" discard)
+                        if not (bp_end >= new.y1 or bp_end <= new.y0):
+                            new.y1 = bp_end
+                        to_add.append(new)
+                col["runs"] += to_add
+
+
+# ---------------------------------------------------------------------------
+# G10 — qualification + grouping (pdf_page.py:612-713)
+# ---------------------------------------------------------------------------
+
+class Grp:
+    """A table group: y-overlapping runs (reference TableGroup,
+    custom_dataclasses.py:608-657, fitted on element boxes)."""
+
+    __slots__ = ("zones", "x0", "x1", "y0", "y1", "data_area", "line_items")
+
+    def __init__(self, zones: List[Zone]):
+        self.zones = list(zones)
+        self.data_area = None
+        self.line_items: List = []
+        self.refit()
+
+    def refit(self):
+        self.x0 = min((z.ex0 for z in self.zones), default=None)
+        self.x1 = max((z.ex1 for z in self.zones), default=None)
+        self.y0 = min((z.ey0 for z in self.zones), default=None)
+        self.y1 = max((z.ey1 for z in self.zones), default=None)
+
+    def add(self, z: Zone):
+        z.grouped = True
+        self.zones.append(z)
+        self.refit()
+
+    def by_row(self) -> Dict[int, List]:
+        out: Dict[int, List] = {}
+        for z in self.zones:
+            for el in z.members:
+                out.setdefault(el.row, []).append(el)
+        return out
+
+
+def collect_relevant_areas(cols_cand: List[Dict],
+                           toks: List[Tok]) -> List[Zone]:
+    pool = [t.copy() for t in toks]
+    relevant = []
+    for col in cols_cand:
+        for run in col["runs"]:
+            must_keys = {t.key() for t in run.members}
+            run.members = []
+            nn = nt = 0
+            for i in range(len(pool) - 1, -1, -1):
+                el = pool[i]
+                if box_inside(run, el, 5) or el.key() in must_keys:
+                    run.put(el)
+                    if sc.is_number_cell(el.text):
+                        nn += 1
+                    elif sc.letter_len(el.text) > 0:
+                        nt += 1
+                    del pool[i]
+            if run.members and nn > 0 and nn >= nt:
+                relevant.append(run)
+    return relevant
+
+
+def _joined_subareas(zone: Zone) -> List[Zone]:
+    """custom_dataclasses.py:539-562."""
+    els = sorted(zone.members, key=lambda t: -t.y1)
+    out: List[Zone] = []
+    cur: List = []
+    for k, el in enumerate(els):
+        if k == 0:
+            cur.append(el)
+        else:
+            if els[k - 1].y0 - el.y1 < zone.tol:
+                cur.append(el)
+            else:
+                z = Zone()
+                z.init_from(cur)
+                out.append(z)
+                cur = [el]
+        if k == len(els) - 1 and cur:
+            z = Zone()
+            z.init_from(cur)
+            out.append(z)
+    return out
+
+
+def _h_overlap_fraction_el(a: Zone, b: Zone) -> float:
+    """h_overlap_percent with field_add='_el' — the reference mixes
+    el-fitted self edges with PLAIN element edges and PLAIN widths
+    (custom_dataclasses.py:170-192); reproduced exactly."""
+    x0c, x1c = a.ex0, a.ex1
+    if (x0c > b.x1) or (x1c < b.x0):
+        return 0.0
+    width = a.x1 - a.x0
+    if x0c <= b.x0 and x1c >= b.x1:
+        return (b.x1 - b.x0) / width
+    if b.x0 <= x0c and b.x1 >= x1c:
+        return 1.0
+    if x0c <= b.x0:
+        return min(1.0, (x1c - b.x0) / width)
+    return min(1.0, (b.x1 - x0c) / width)
+
+
+def _stackable(a: Zone, b: Zone) -> bool:
+    """custom_dataclasses.py:523-537 (field_add='_el')."""
+    if h_inside(a.ex0, a.ex1, b.ex0, b.ex1, a.tol) or \
+            h_inside(b.ex0, b.ex1, a.ex0, a.ex1, b.tol) or \
+            _h_overlap_fraction_el(a, b) > 0.6:
+        for ra in _joined_subareas(a):
+            for rb in _joined_subareas(b):
+                if box_collides(ra, rb, ra.tol):
+                    return False
+        return True
+    return False
+
+
+def _combine(a: Zone, b: Zone) -> Zone:
+    """custom_dataclasses.py:564-595: union boxes; a's members are
+    copied (the reference deepcopies self), b's join by reference."""
+    c = Zone(a.x0, a.x1, a.y0, a.y1, a.tol)
+    c.ex0, c.ex1, c.ey0, c.ey1 = a.ex0, a.ex1, a.ey0, a.ey1
+    c.members = [m.copy() if isinstance(m, Tok) else m for m in a.members]
+    c.rows = set(a.rows)
+    c.grouped = a.grouped
+    if b.x0 < a.x0:
+        c.x0 = b.x0
+    if b.y0 < a.y0:
+        c.y0 = b.y0
+    if b.ex0 is not None and a.ex0 is not None and b.ex0 < a.ex0:
+        c.ex0 = b.ex0
+    if b.ey0 is not None and a.ey0 is not None and b.ey0 < a.ey0:
+        c.ey0 = b.ey0
+    if b.x1 > a.x1:
+        c.x1 = b.x1
+    if b.y1 > a.y1:
+        c.y1 = b.y1
+    if b.ex1 is not None and a.ex1 is not None and b.ex1 > a.ex1:
+        c.ex1 = b.ex1
+    if b.ey1 is not None and a.ey1 is not None and b.ey1 > a.ey1:
+        c.ey1 = b.ey1
+    c.members += b.members
+    c.refit_el_all()
+    return c
+
+
+def group_areas(relevant: List[Zone], wide_layout: bool) -> List[Grp]:
+    areas = sorted(relevant, key=lambda z: -z.ey1)
+    groups: List[Grp] = []
+    for k, ar in enumerate(areas):
+        if ar.grouped:
+            continue
+        # seed is (reference quirk) never flagged as grouped
+        grp = Grp([ar])
+        for kk in range(k + 1, len(areas)):
+            ar2 = areas[kk]
+            if not ar2.grouped and v_overlap(ar2.ey0, ar2.ey1, grp.y0,
+                                             grp.y1, ar2.tol):
+                grp.add(ar2)
+        groups.append(grp)
+
+    # split groups whose columns are too far apart (pdf_page.py:654-672);
+    # appended splits are themselves revisited
+    sep = SEPARATE_COLUMNS_DISTANCE_WIDE if wide_layout else \
+        SEPARATE_COLUMNS_DISTANCE
+    gi = 0
+    while gi < len(groups):
+        g = groups[gi]
+        g.zones.sort(key=lambda z: z.ex0)
+        break_at = None
+        for k in range(1, len(g.zones)):
+            if x_distance(g.zones[k], g.zones[k - 1]) > sep:
+                break_at = k
+                break
+        if break_at is not None:
+            new_zones = []
+            for kk in range(len(g.zones) - 1, break_at - 1, -1):
+                g.zones[kk].grouped = False
+                new_zones.append(g.zones[kk])
+                del g.zones[kk]
+            g.refit()
+            groups.append(Grp(new_zones))
+        gi += 1
+
+    # combine vertically stackable columns inside each group
+    # (pdf_page.py:674-691)
+    for g in groups:
+        g.zones.sort(key=lambda z: z.ey1)
+        handled: set = set()
+        a = 0
+        while a < len(g.zones):
+            if a not in handled:
+                for b in range(len(g.zones)):
+                    if a != b and b not in handled and \
+                            _stackable(g.zones[a], g.zones[b]):
+                        handled.add(a)
+                        handled.add(b)
+                        g.zones.append(_combine(g.zones[a], g.zones[b]))
+                        break
+            a += 1
+        for idx in sorted(handled, reverse=True):
+            del g.zones[idx]
+
+    # data area = intersection box (pdf_page.py:693-711)
+    for g in groups:
+        x0 = x1 = y0 = y1 = None
+        for z in g.zones:
+            mnx0 = max(z.x0, g.x0)
+            mxx1 = min(z.x1, g.x1)
+            mny0 = max(z.y0, g.y0)
+            mxy1 = min(z.y1, g.y1)
+            x0 = mnx0 if x0 is None or mnx0 < x0 else x0
+            x1 = mxx1 if x1 is None or mxx1 > x1 else x1
+            y0 = mny0 if y0 is None or mny0 < y0 else y0
+            y1 = mxy1 if y1 is None or mxy1 > y1 else y1
+        if x0 is not None:
+            g.data_area = Zone(x0, x1, y0, y1)
+    return groups
+
+
+# ---------------------------------------------------------------------------
+# T1 — line-item detection (pdf_page.py:741-842)
+# ---------------------------------------------------------------------------
+
+def _make_value(el) -> Dict:
+    v = el.text if el is not None else ""
+    n = sc.clean_numeric_value(v) if v != "" else None
+    return {"el": el, "v": v, "n": n}
+
+
+def _value_empty(v: Dict) -> bool:
+    return v["v"].strip() == ""
+
+
+class Item:
+    """A table row: caption cell + values (reference LineItem,
+    custom_dataclasses.py:697-753)."""
+
+    __slots__ = ("cell", "groups", "values")
+
+    def __init__(self, el=None, num_cols: Optional[int] = None):
+        self.cell = Cell([])
+        self.groups: List[Cell] = []
+        self.values: List[Dict] = (
+            [_make_value(None) for _ in range(num_cols)]
+            if num_cols is not None else [])
+        if el is not None:
+            self.add_el(el)
+
+    def add_el(self, el):
+        if isinstance(el, Cell):
+            if not any(g is el for g in self.groups):
+                self.groups.append(el)
+            for t in el.members:
+                self.cell.add(t)
+        else:
+            self.cell.add(el)
+
+    @property
+    def caption(self) -> str:
+        return self.cell.text
+
+
+def _adjacent_percent(g: Grp, zone: Zone, lines_cleaned: List[str]) -> float:
+    """NaturalTextHelper.is_adjacent_percent
+    (custom_dataclasses.py:773-795)."""
+    all_rows = g.by_row()
+    matches = 0
+    for row_idx, els in all_rows.items():
+        relevant = sorted([c for c in zone.members
+                           if c.row == els[0].row], key=lambda c: c.x0)
+        if relevant:
+            if len(relevant) == 1:
+                text_li = sc.clean_text_for_matching(relevant[0].text)
+            else:
+                text_li = sc.clean_text_for_matching(
+                    relevant[0].text + relevant[1].text)
+            base_sorted = sorted(els, key=lambda e: e.x0)
+            if len(els) == 1:
+                item_text = sc.clean_text_for_matching(base_sorted[0].text)
+            else:
+                item_text = sc.clean_text_for_matching(
+                    base_sorted[0].text + base_sorted[1].text)
+            for line in lines_cleaned:
+                if line.startswith(text_li) and item_text in line:
+                    matches += 1
+                    break
+    return matches / len(all_rows)
+
+
+def detect_line_items(groups: List[Grp], rows: List[Dict],
+                      lines_cleaned: List[str]):
+    candidates_src = [cell for r in rows for cell in r["cells"]
+                      if not sc.is_number_cell(cell.text)]
+    text_cols = find_text_cols(candidates_src, TOLERANCE_COLUMNS_LI)
+    for col in text_cols:
+        z = Zone()
+        z.init_from(col["cells"])
+        col["zone"] = z
+
+    for g in groups:
+        value_rows: List[int] = []
+        for z in g.zones:
+            for el in z.members:
+                if el.row not in value_rows:
+                    value_rows.append(el.row)
+        value_rows = sorted(value_rows)
+
+        cands = []
+        for col in text_cols:
+            cz = col["zone"]
+            if cz.x0 is not None and cz.x0 < g.x0 and v_overlap(
+                    cz.y0, cz.y1, g.y0, g.y1, cz.tol):
+                overlapping = [c for c in col["cells"]
+                               if c.row in value_rows]
+                if not overlapping:
+                    continue
+                oz = Zone()
+                oz.init_from(overlapping)
+                cands.append({"score": 0.0, "zone": oz,
+                              "value_rows": value_rows})
+
+        chosen = None
+        if len(cands) == 1:
+            chosen = cands[0]
+        elif len(cands) > 1:
+            cands.sort(key=lambda c: g.x0 - c["zone"].x0)
+            n = len(cands)
+            # weights: words 5, distance 1, completeness 5, text-fit 8
+            # (pdf_page.py:784)
+            for k, cd in enumerate(cands):
+                nvr = len(cd["value_rows"])
+                words = sum(
+                    1 for c in cd["zone"].members
+                    if len(sc.words_contained(c.text)) > 0) / nvr
+                completeness = len(cd["zone"].members) / nvr
+                distance = 1 if n == 1 else 1 - (k / (n - 1))
+                fits = _adjacent_percent(g, cd["zone"], lines_cleaned)
+                cd["score"] = (5 * words + 1 * distance
+                               + 5 * completeness + 8 * fits)
+            scores = [c["score"] for c in cands]
+            chosen = cands[scores.index(max(scores))]
+
+        items_by_row: Dict[int, Item] = {}
+        if chosen is not None:
+            cz = chosen["zone"]
+
+            def eligible(el) -> bool:
+                return (not box_inside(g, el, 3)
+                        and not box_collides(g, el, 3)
+                        and el.x0 < g.x0
+                        and (cz.x0 <= el.x0 or box_inside(cz, el, cz.tol)
+                             or h_overlap(cz.x0, cz.x1, el.x0, el.x1,
+                                          cz.tol)))
+
+            for row_index, r in enumerate(rows):
+                if row_index in chosen["value_rows"] or (
+                        g.y1 > r["y1"] > g.y0) or (g.y1 > r["y0"] > g.y0):
+                    for el in r["cells"]:
+                        if eligible(el):
+                            if row_index not in items_by_row:
+                                items_by_row[row_index] = Item(el)
+                            else:
+                                items_by_row[row_index].add_el(el)
+                    if row_index not in items_by_row:
+                        for el in r["toks"]:
+                            if eligible(el):
+                                if row_index not in items_by_row:
+                                    items_by_row[row_index] = Item(el)
+                                else:
+                                    items_by_row[row_index].add_el(el)
+        g.line_items = list(items_by_row.values())
+
+
+# ---------------------------------------------------------------------------
+# T2-T6 — table assembly (pdf_page.py:844-956,
+# custom_dataclasses.py:876-1036)
+# ---------------------------------------------------------------------------
+
+class TableK:
+    """Final table (reference ExtractedTable)."""
+
+    _SPACE_COLS = 5
+
+    __slots__ = ("g_index", "items", "num_rows", "num_cols", "by_row",
+                 "li_area", "tva", "table_area", "value_areas",
+                 "x0", "x1", "y0", "y1")
+
+    def __init__(self, items: List[Item], g_index: int):
+        self.g_index = g_index
+        self.set_items(items)
+
+    def set_items(self, items: List[Item]):
+        self.items = sorted(items, key=lambda li: li.cell.row)
+        self.set_areas()
+        self.num_rows = len(self.items)
+        self.num_cols = len(self.items[0].values) if self.items else 0
+        self.by_row = {li.cell.row: li for li in items}
+        self.x0 = self.table_area.x0
+        self.x1 = self.table_area.x1
+        self.y0 = self.table_area.y0
+        self.y1 = self.table_area.y1
+
+    def set_areas(self):
+        """custom_dataclasses.py:970-1008 including the value-area
+        stretching."""
+        self.li_area = Zone()
+        self.tva = Zone()
+        self.table_area = Zone()
+        self.value_areas = []
+        if not self.items:
+            return
+        li_els: List = []
+        val_els: List[List] = [[] for _ in self.items[0].values]
+        for li in self.items:
+            li_els += list(li.groups) + [li.cell]
+            for k, v in enumerate(li.values):
+                if k >= len(val_els):
+                    raise KernelTableError("ragged value columns")
+                val_els[k].append(v["el"])
+        tva_els = [el for colv in val_els for el in colv]
+        self.li_area.init_from(li_els)
+        self.tva.init_from(tva_els)
+        self.table_area.init_from(tva_els + li_els)
+        for colv in val_els:
+            z = Zone()
+            z.init_from(colv)
+            self.value_areas.append(z)
+        vas = sorted([z for z in self.value_areas if z.members],
+                     key=lambda z: z.x0)
+        for a in range(len(vas) - 1, 0, -1):
+            vas[a].x0 = min(vas[a].x0, vas[a - 1].x1 + self._SPACE_COLS)
+            vas[a].y1 = max(vas[a].y1, self.li_area.y1)
+            vas[a].y0 = min(vas[a].y0, self.li_area.y0)
+        if len(vas) > 1:
+            vas[0].x0 = min(vas[0].x0, vas[0].x1 - (vas[1].x1 - vas[1].x0))
+            vas[0].y1 = max(vas[0].y1, self.li_area.y1)
+            vas[0].y0 = min(vas[0].y0, self.li_area.y0)
+        if len(vas) > 0:
+            self.li_area.x1 = max(self.li_area.x1,
+                                  vas[0].x0 - self._SPACE_COLS)
+
+    def fill_empty_items(self, value_grid: Dict[int, List]):
+        """custom_dataclasses.py:893-924."""
+        final: List[Item] = []
+        num_cols = 0
+        for row_index, vals in value_grid.items():
+            num_cols = len(vals) if len(vals) > 0 else num_cols
+            chosen = None
+            for li in self.items:
+                if li.cell.row == row_index:
+                    chosen = li
+                    break
+            if chosen is None:
+                default_el = next((v for v in vals if v is not None), None)
+                if default_el is None:
+                    raise KernelTableError("empty values")
+                chosen = Item(Tok(int(self.li_area.x0),
+                                  int(self.li_area.x1),
+                                  default_el.y0, default_el.y1, "",
+                                  False, row_index))
+            if chosen.values:
+                raise KernelTableError("values already assigned")
+            chosen.values = [_make_value(v) for v in vals]
+            final.append(chosen)
+        self.set_items(final)
+        for li in self.items:
+            if len(li.values) == 0:
+                li.values = [_make_value(None) for _ in range(num_cols)]
+            elif len(li.values) != num_cols:
+                raise KernelTableError("number of columns not consistent")
+
+    def remove_column(self, ci: int):
+        for li in self.items:
+            del li.values[ci]
+        self.set_items(self.items)
+
+    def add_to_items(self, base_el: Cell):
+        """custom_dataclasses.py:1026-1036."""
+        if base_el.row not in self.li_area.rows:
+            new_item = Item(base_el, len(self.items[0].values))
+            items = list(self.items)
+            items.append(new_item)
+            self.set_items(items)
+        else:
+            self.by_row[base_el.row].add_el(base_el)
+        self.set_areas()
+
+    def add_value(self, el, col_idx: int):
+        li = self.by_row.get(el.row)
+        if li is not None and col_idx <= len(li.values) - 1 and \
+                _value_empty(li.values[col_idx]):
+            li.values[col_idx] = _make_value(el)
+
+
+def _split_table_if_needed(t: TableK) -> List[TableK]:
+    """pdf_page.py:844-862."""
+    for k in range(1, len(t.items)):
+        if abs(t.items[k - 1].cell.y0 - t.items[k].cell.y1) > \
+                SEPARATE_TABLE_DISTANCE:
+            out = [TableK(t.items[:k], t.g_index)]
+            out += _split_table_if_needed(TableK(t.items[k:], t.g_index))
+            return out
+    return [t]
+
+
+def _filter_empty_columns(tables: List[TableK], min_cols: int):
+    """pdf_page.py:12-25."""
+    for ti in range(len(tables) - 1, -1, -1):
+        t = tables[ti]
+        if t.items:
+            for ci in range(len(t.items[0].values) - 1, -1, -1):
+                if all(_value_empty(li.values[ci]) for li in t.items):
+                    t.remove_column(ci)
+        if not t.items or len(t.items[0].values) < min_cols:
+            del tables[ti]
+    return tables
+
+
+def _merge_grid_value(cur, nxt):
+    """Duplicate grid-slot merge (pdf_page.py:908-916 +
+    custom_dataclasses.py:343-366): snapshot, then positional concat."""
+    snap = Tok(cur.x0, cur.x1, cur.y0, cur.y1, cur.text,
+               getattr(cur, "bold", False), cur.row)
+    snap.merge_in(nxt)
+    return snap
+
+
+def extract_tables(groups: List[Grp], rows: List[Dict], min_rows: int,
+                   min_cols: int) -> List[TableK]:
+    tables: List[TableK] = []
+    for g_index, g in enumerate(groups):
+        if len(g.zones) < min_cols:
+            continue
+        g.zones.sort(key=lambda z: z.ex1)
+        value_grid: Dict[int, List] = {
+            r: [None] * len(g.zones) for r in g.by_row().keys()}
+        for k, z in enumerate(g.zones):
+            z.members.sort(key=lambda t: (t.x0, -t.y1))
+            for el in z.members:
+                bounding = None
+                ek = el.key()
+                for cell in rows[el.row]["cells"]:
+                    if cell.key() == ek or value_in(el, cell.members):
+                        bounding = cell
+                        break
+                if bounding is None:
+                    continue
+                if sum(1 for m in bounding.members
+                       if sc.is_number_cell(m.text)) > 1:
+                    bounding = el
+                if bounding.row not in value_grid:
+                    continue
+                cur = value_grid[bounding.row][k]
+                if cur is None:
+                    value_grid[bounding.row][k] = bounding
+                elif cur.text == bounding.text:
+                    continue
+                else:
+                    value_grid[bounding.row][k] = _merge_grid_value(
+                        cur, bounding)
+
+        final_table = TableK(g.line_items, g_index)
+        final_table.fill_empty_items(value_grid)
+        separated = _split_table_if_needed(final_table)
+        separated = _filter_empty_columns(separated, min_cols)
+        tables += separated
+
+    tables.sort(key=lambda t: -t.table_area.y1)
+    # overlapping-table dedup, larger rows*cols wins (pdf_page.py:937-954)
+    to_del: set = set()
+    for k, t in enumerate(tables):
+        if len(t.items) < min_rows:
+            to_del.add(k)
+        if k in to_del:
+            continue
+        for kk in range(k + 1, len(tables)):
+            if kk in to_del:
+                continue
+            if box_collides(t.table_area, tables[kk].table_area,
+                            t.table_area.tol):
+                s1 = t.num_rows * t.num_cols
+                s2 = tables[kk].num_rows * tables[kk].num_cols
+                to_del.add(k if s1 < s2 else kk)
+    return [t for k, t in enumerate(tables) if k not in to_del]
+
+
+# ---------------------------------------------------------------------------
+# T7 — reconciliation (pdf_page.py:958-1022)
+# ---------------------------------------------------------------------------
+
+def _zone_contains_cell(zone: Zone, cell) -> bool:
+    """Area.contains (custom_dataclasses.py:597-605)."""
+    ck = cell.key()
+    for el in zone.members:
+        if el.key() == ck:
+            return True
+        if isinstance(el, Cell) and not isinstance(cell, Cell):
+            for m in el.members:
+                if m.key() == ck:
+                    return True
+    return False
+
+
+def reconcile(tables: List[TableK], rows: List[Dict]) -> List[tuple]:
+    """Walk row cells top-down, absorbing stragglers into colliding
+    tables or emitting them as text elements; tables splice into output
+    order after earlier splits of the same group."""
+    table_seq: List[TableK] = []  # reference's all_elements (tables only)
+    out: List[tuple] = []  # ('table', t) / ('text', cell)
+    for r in rows:
+        for base_el in r["cells"]:
+            in_table = False
+            for t in tables:
+                if box_collides(t.table_area, base_el, t.table_area.tol) \
+                        or box_inside(t.table_area, base_el,
+                                      t.table_area.tol):
+                    in_table = True
+                    if not any(t is x for x in table_seq):
+                        inserted = False
+                        same_g = [i for i, x in enumerate(table_seq)
+                                  if x.g_index == t.g_index]
+                        if same_g:
+                            idx = same_g[-1]
+                            table_seq.insert(idx + 1, t)
+                            out.insert(idx + 1, ("table", t))
+                            inserted = True
+                        if not inserted:
+                            table_seq.append(t)
+                            out.append(("table", t))
+                    if box_inside(t.li_area, base_el, t.li_area.tol) or \
+                            _overlap_mean(t.li_area, base_el) > 0.8:
+                        if not _zone_contains_cell(t.li_area, base_el):
+                            t.add_to_items(base_el)
+                    elif box_inside(t.tva, base_el, t.tva.tol):
+                        if not any(base_el is m for m in t.tva.members):
+                            for col_idx, va in enumerate(t.value_areas):
+                                if box_collides(va, base_el, va.tol) or \
+                                        box_inside(va, base_el, va.tol):
+                                    if not any(base_el is m
+                                               for m in va.members):
+                                        if base_el.row not in va.rows:
+                                            va.put(base_el)
+                                            t.add_value(base_el, col_idx)
+                                            break
+                    else:
+                        in_table = False
+                    break
+            if not in_table:
+                out.append(("text", base_el))
+    return out
+
+
+def _overlap_mean(a: Zone, b) -> float:
+    """overlap_percent (custom_dataclasses.py:163-168) on plain coords."""
+    if a.x0 is None or a.y0 is None:
+        return 0.0
+    # h percent
+    if not h_overlap(a.x0, a.x1, b.x0, b.x1, 0):
+        h = 0.0
+    else:
+        width = a.x1 - a.x0
+        if a.x0 <= b.x0 and a.x1 >= b.x1:
+            h = (b.x1 - b.x0) / width
+        elif b.x0 <= a.x0 and b.x1 >= a.x1:
+            h = 1.0
+        elif a.x0 <= b.x0:
+            h = min(1.0, (a.x1 - b.x0) / width)
+        else:
+            h = min(1.0, (b.x1 - a.x0) / width)
+    if not v_overlap(a.y0, a.y1, b.y0, b.y1, 0):
+        v = 0.0
+    else:
+        height = a.y1 - a.y0
+        if a.y0 <= b.y0 and a.y1 >= b.y1:
+            v = (b.y1 - b.y0) / height
+        elif b.y0 <= a.y0 and b.y1 >= a.y1:
+            v = 1.0
+        elif a.y0 <= b.y0:
+            v = min(1.0, (a.y1 - b.y0) / height)
+        else:
+            v = min(1.0, (b.y1 - a.y0) / height)
+    return (h + v) / 2
+
+
+# ---------------------------------------------------------------------------
+# G11/G12 — paragraphs (extract.py:14-68, custom_dataclasses.py:825-873)
+# ---------------------------------------------------------------------------
+
+class Para:
+    __slots__ = ("elements", "x0", "x1", "y0", "y1", "text")
+
+    def __init__(self, el):
+        self.elements = [el]
+        self._refit()
+        self._retext()
+
+    def add(self, el):
+        self.elements.append(el)
+        self._refit()
+        self._retext()
+
+    def _refit(self):
+        self.x0 = min(e.x0 for e in self.elements)
+        self.x1 = max(e.x1 for e in self.elements)
+        self.y0 = min(e.y0 for e in self.elements)
+        self.y1 = max(e.y1 for e in self.elements)
+
+    def _retext(self):
+        """Reference quirk preserved: line-break test compares the
+        UNSORTED previous element against the sorted current one
+        (custom_dataclasses.py:856)."""
+        s = sorted(self.elements, key=lambda e: (-e.y1, e.x0))
+        parts = []
+        for k, el in enumerate(s):
+            if k > 0 and self.elements[k - 1].y1 - el.y1 > PARA_LINE_BREAK:
+                parts.append("\n")
+            elif k > 0:
+                parts.append(" ")
+            parts.append(el.text_value())
+        self.text = "".join(parts)
+
+
+class XText:
+    """An extracted text element (wraps a row cell)."""
+
+    __slots__ = ("x0", "x1", "y0", "y1", "cell")
+
+    def __init__(self, cell):
+        self.x0 = cell.x0
+        self.x1 = cell.x1
+        self.y0 = cell.y0
+        self.y1 = cell.y1
+        self.cell = cell
+
+    def text_value(self) -> str:
+        return self.cell.text
+
+
+def make_paragraphs(extracted: List[tuple], page_width: int,
+                    natural_text: Optional[str]) -> List:
+    els: List = []
+    for kind, payload in extracted:
+        if kind == "table":
+            els.append(payload)
+        else:
+            els.append(XText(payload))
+    els = sorted(els, key=lambda e: e.y1, reverse=True)
+    nat = natural_text.replace("\n", " ") if natural_text is not None \
+        else None
+    current: List[Para] = []
+    out: List = []
+    for el in els:
+        if isinstance(el, TableK):
+            out.append(el)
+            continue
+        added = False
+        for n in range(len(current) - 1, -1, -1):
+            gp = current[n]
+            if gp.y0 - el.y1 > PARA_GROUP_TOLERANCE:
+                del current[n]
+            elif gp.y0 - el.y1 <= PARA_LINE_BREAK:
+                add = False
+                if h_inside(gp.x0, gp.x1, el.x0, el.x1, 3) or \
+                        h_overlap(gp.x0, gp.x1, el.x0, el.x1, 3):
+                    add = True
+                elif nat is not None and x_distance(gp, el) <= \
+                        PARA_SPACE_MAX:
+                    probe = (
+                        (gp.elements[-2].text_value() + " "
+                         if len(gp.elements) > 1 else "")
+                        + gp.elements[-1].text_value() + " "
+                        + el.text_value())
+                    if probe in nat:
+                        add = True
+                if add:
+                    gp.add(el)
+                    added = True
+                    break
+        if not added:
+            p = Para(el)
+            current.append(p)
+            out.append(p)
+    return sorted(out, key=lambda e: (1 if e.x0 > (page_width / 2) else 0,
+                                      -math.floor(e.y1 / 40)))
+
+
+# ---------------------------------------------------------------------------
+# page / document drivers
+# ---------------------------------------------------------------------------
+
+def _page_stream(page: codec.Page) -> List[tuple]:
+    stream: List[tuple] = []
+    for box in page.boxes:
+        if box.kind == codec.KIND_TEXTBOX:
+            stream.append(("box", box.lines))
+        elif box.kind == codec.KIND_CHARS:
+            for chars in box.lines:
+                stream.extend(("char", c) for c in chars)
+        else:
+            stream.append(("rect", box.rect))
+    return stream
+
+
+def _serialize_table(t: TableK) -> dict:
+    return {
+        "g_index": t.g_index,
+        "num_rows": t.num_rows,
+        "num_cols": t.num_cols,
+        "area": t.table_area.bounds_list(),
+        "total_value_area": t.tva.bounds_list(),
+        "value_areas": [a.bounds_list() for a in t.value_areas],
+        "items": [
+            {
+                "caption": li.caption,
+                "caption_area": [round(li.cell.x0), round(li.cell.x1),
+                                 round(li.cell.y0), round(li.cell.y1)],
+                "values": [
+                    {"v": v["v"],
+                     "n": None if v["n"] is None else str(v["n"])}
+                    for v in li.values
+                ],
+            }
+            for li in t.items
+        ],
+    }
+
+
+def extract_page(page: codec.Page, page_index: int, min_rows: int = 2,
+                 min_cols: int = 1) -> dict:
+    if min_cols < 1 or min_rows < 1:
+        raise ValueError("a table needs at least one column and one row")
+    mb = page.mediabox
+    page_w_raw = mb[2] - mb[0]
+    page_h_raw = mb[3] - mb[1]
+    if page_h_raw > page_w_raw:
+        mult = float(PAGE_WIDTH_NORMAL / page_w_raw)
+    else:
+        mult = float(PAGE_WIDTH_HORIZONTAL / page_w_raw)
+    px0 = int(mb[0] * mult)
+    px1 = int(mb[2] * mult)
+    py0 = int(mb[1] * mult)
+    py1 = int(mb[3] * mult)
+    page_width = px1 - px0
+    page_height = py1 - py0
+    wide_layout = page_width > page_height
+
+    toks, _nontext = tokenize(_page_stream(page), mult)
+    rows = find_rows(toks)
+    build_cells(rows)
+    cols = find_numeric_cols(toks)
+    find_runs(cols, rows)
+
+    cols_cand = [c for c in cols if c["runs"]]
+    # run extension within neighbor-run bounds (pdf_page.py:580-593)
+    for col in cols_cand:
+        for ri, run in enumerate(col["runs"]):
+            limit = None if ri == 0 else max(
+                t.row for t in col["runs"][ri - 1].members)
+            extend_run(run, rows, True,
+                       min(t.row for t in run.members), True, limit)
+            limit = None if ri == len(col["runs"]) - 1 else min(
+                t.row for t in col["runs"][ri + 1].members)
+            extend_run(run, rows, False,
+                       max(t.row for t in run.members), True, limit)
+    break_runs_at_blank_lines(cols_cand, rows)
+    relevant = collect_relevant_areas(cols_cand, toks)
+    groups = group_areas(relevant, wide_layout)
+
+    nat = page.natural_text
+    lines_cleaned = ([sc.clean_text_for_matching(x) for x in nat.split("\n")]
+                     if nat is not None else [])
+    detect_line_items(groups, rows, lines_cleaned)
+
+    tables = extract_tables(groups, rows, min_rows, min_cols)
+    extracted = reconcile(tables, rows)
+    paragraphs = make_paragraphs(extracted, page_width, nat)
+
+    para_items = []
+    for el in paragraphs:
+        if isinstance(el, TableK):
+            para_items.append({"kind": "table", "text": "",
+                               "box": [el.x0, el.x1, el.y0, el.y1]})
+        else:
+            para_items.append({"kind": "p", "text": el.text,
+                               "box": [el.x0, el.x1, el.y0, el.y1]})
+    table_dicts = [_serialize_table(t) for kind, t in extracted
+                   if kind == "table"]
+    extracted_text = "\n\n".join(x["text"] for x in para_items if x["text"])
+    return {
+        "page_index": page_index,
+        "extracted_text": extracted_text,
+        "paragraphs": para_items,
+        "tables": table_dicts,
+        "n_elements": len(extracted),
+    }
+
+
+def extract_document(blob: bytes, min_rows: int = 2,
+                     min_cols: int = 1) -> List[dict]:
+    pages = codec.decode_document(blob)
+    return [extract_page(p, i, min_rows, min_cols)
+            for i, p in enumerate(pages)]
