@@ -1,38 +1,75 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship extraction over a deterministic Common-Crawl-style
+corpus synthesized from the sf0.001 documents table.
+``queries``/``oracle_sql``: one entry per implemented operator (SURVEY
+§2 + training-data ops); oracles run on DuckDB over the same parquet.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic page corpus (PLD1 bytes) -> extraction
+    kernel -> per-page rows. Pure map end to end: no shuffle appears in
+    this plan (see pipeline.py)."""
+    from pyspark.sql import functions as F
+
+    from parsee_pdf_reader_spark.pipeline import extract_pages
+    from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = synthesize_pages_df(spark, docs)
+    out = extract_pages(pages)
+    return out.select(
+        "url",
+        "page_index",
+        "extracted_text",
+        F.size(F.coalesce(F.col("tables"), F.array())).alias("n_tables"),
+        F.size(F.coalesce(F.col("paragraphs"), F.array()))
+        .alias("n_paragraphs"),
+        "n_elements",
+        "error",
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import parsee_pdf_reader_spark.operators  # noqa: F401 (registers ops)
+    from parsee_pdf_reader_spark.operators.multimodal import (
+        media_decode_query,
+    )
+    from parsee_pdf_reader_spark.plans.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out["extract_pages_flagship"] = _flagship
+    out["media_decode_stub"] = media_decode_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import parsee_pdf_reader_spark.operators  # noqa: F401 (registers ops)
+    from parsee_pdf_reader_spark.plans.queries import REGISTRY
+
+    # extract_pages_flagship / media_decode_stub are intentionally
+    # absent: the layout kernel and the media decode stage are not
+    # SQL-expressible; their correctness gates are the byte-identity
+    # pytest suite against the reference engine (tests/test_kernel_*)
+    # and the multimodal unit tests.
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()}

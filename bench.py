@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": <extraction throughput>, ...}
+
+The flagship extraction is measured over a pages corpus synthesized
+from the documents table and materialized to parquet first, so the
+timed section is scan -> Arrow kernel -> count (the production shape).
+Set SPARK_GRAFT_BENCH_SCALING=1 to also run the two-parallelism scaling
+probe (local[8] vs local[32]) and include efficiency in the line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
+    from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = synthesize_pages_df(spark, docs)
+    pages.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
+def time_extraction(spark, corpus_dir: str) -> float:
+    from parsee_pdf_reader_spark.pipeline import extract_pages
+
+    t0 = time.time()
+    out = extract_pages(spark.read.parquet(corpus_dir))
+    n_err = out.where("error is not null").count()
+    dt = time.time() - t0
+    assert n_err == 0, f"extraction errors: {n_err}"
+    return dt
+
+
+def main():
+    from parsee_pdf_reader_spark.session import get_spark
+    from parsee_pdf_reader_spark.plans.queries import REGISTRY
+
+    sf = _sf_from_dir(SF_DIR)
+    corpus_dir = os.path.join(tempfile.gettempdir(),
+                              f"parsee_bench_corpus_{os.path.basename(SF_DIR)}")
+
+    spark = get_spark("parsee-bench", master=f"local[{CPUS}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+
+    t0 = time.time()
+    n_docs = build_corpus(spark, SF_DIR, corpus_dir)
+    timings["synthesize_corpus"] = round(time.time() - t0, 3)
+
+    t_ex = time_extraction(spark, corpus_dir)
+    timings["extract_pages"] = round(t_ex, 3)
+    docs_per_sec = round(n_docs / t_ex, 2)
+
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "docs/sec extraction + headline query wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        spark.stop()
+        scaling = {}
+        for cores in (8, 32):
+            s = get_spark(f"parsee-bench-{cores}",
+                          master=f"local[{cores}]",
+                          extra_conf={"spark.ui.enabled": "false"})
+            s.sparkContext.setLogLevel("ERROR")
+            dt = time_extraction(s, corpus_dir)
+            scaling[str(cores)] = round(n_docs / dt, 2)
+            s.stop()
+        eff = (scaling["32"] / scaling["8"]) / 4
+        result["scaling_docs_per_sec"] = scaling
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+    else:
+        spark.stop()
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

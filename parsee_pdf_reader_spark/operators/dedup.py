@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+
+- exact dedup: one hash-exchange on ``md5(text)`` (the canonical-id
+  window and the group-by share the partitioning);
+- MinHash-LSH: signatures are computed in a single codegen'd projection
+  (nested higher-order functions — no explode until the band stage);
+  the only joins are band-bucket self-joins, i.e. candidates ~ O(dups),
+  not O(n^2);
+- SimHash: pure projection, zero shuffles for the signature; one window
+  for cluster sizes;
+- n-gram Jaccard: exact verification path; the pair space is bounded by
+  a shared-shingle semi-join (never a cross join).
+
+All hashing uses md5 so the DuckDB twins compute bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parsee_pdf_reader_spark.plans.queries import _t, register
+
+# whitespace tokens, both engines
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _toks():
+    return F.filter(F.split("text", r"\s+"), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    select doc_id,
+           min(doc_id) over (partition by md5(text)) as canonical_id,
+           (doc_id <> min(doc_id) over (partition by md5(text))) as is_dup
+    from documents
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    canon = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id",
+        canon.alias("canonical_id"),
+        (F.col("doc_id") != canon).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_SIG_K = 12
+_BANDS = 3
+_BAND_R = 4
+
+_SHINGLES_SQL = f"""
+    (case when len({_TOKS_SQL}) < 3
+          then [array_to_string({_TOKS_SQL}, ' ')]
+          else list_distinct(list_transform(
+                 range(len({_TOKS_SQL}) - 2),
+                 i -> array_to_string(list_slice({_TOKS_SQL},
+                                                 i + 1, i + 3), ' ')))
+     end)
+"""
+
+_SIG_SQL = f"""
+    list_transform(range({_SIG_K}),
+        j -> list_min(list_transform(sh,
+                 s -> md5(j::varchar || ':' || s))))
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    with sigs as (
+      select doc_id, {_SIG_SQL} as sig
+      from (select doc_id, {_SHINGLES_SQL} as sh from documents) s
+    ),
+    bands as (
+      select doc_id, sig, b,
+             md5(b::varchar || '|' ||
+                 array_to_string(list_slice(sig, b*{_BAND_R} + 1,
+                                            b*{_BAND_R} + {_BAND_R}), '|'))
+                 as band_hash
+      from sigs, range({_BANDS}) t(b)
+    )
+    select distinct a.doc_id as doc_a, c.doc_id as doc_b,
+           round(list_sum(list_transform(range({_SIG_K}),
+                 j -> case when a.sig[j+1] = c.sig[j+1]
+                           then 1 else 0 end)) / {_SIG_K}.0, 4)
+               as est_jaccard
+    from bands a join bands c
+      on a.b = c.b and a.band_hash = c.band_hash
+     and a.doc_id < c.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Shingle -> minhash -> band -> bucket-join near-dup candidates.
+    Signature stage is a pure projection (no shuffle); candidate pairs
+    come from the band-bucket equi-join only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    shingles = F.when(
+        F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    sigs = (
+        docs.select("doc_id", shingles.alias("sh"))
+        .select("doc_id", sig.alias("sig"))
+    )
+    band_idx = F.explode(
+        F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")
+    bands = sigs.select("doc_id", "sig", band_idx).select(
+        "doc_id", "sig", "b",
+        F.md5(
+            F.concat(
+                F.col("b").cast("string"), F.lit("|"),
+                F.concat_ws(
+                    "|", F.slice("sig", F.col("b") * _BAND_R + 1, _BAND_R)),
+            )
+        ).alias("band_hash"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.b") == F.col("c.b"))
+        & (F.col("a.band_hash") == F.col("c.band_hash"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a.sig", "c.sig", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / float(_SIG_K)
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("c.doc_id").alias("doc_b"),
+        F.round(est, 4).alias("est_jaccard"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived, frequency-weighted)
+# ---------------------------------------------------------------------------
+
+_HEXDIGITS = "0123456789abcdef"
+
+# per token t and bit i: hex nibble i//4 of md5(t), bit 3-(i%4) of it
+_SIMHASH_SQL = f"""
+    list_sum(list_transform(range(16), i ->
+      (case when list_sum(list_transform({_TOKS_SQL}, t ->
+         case when cast(floor(
+                 (instr('{_HEXDIGITS}',
+                        substr(md5(t), (i // 4) + 1, 1)) - 1)
+                 / power(2, 3 - (i % 4))) as int) % 2 = 1
+              then 1 else -1 end)) >= 0
+            then 1 else 0 end) * cast(power(2, i) as bigint)))
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    select doc_id, simhash16,
+           count(*) over (partition by simhash16) as cluster_size
+    from (select doc_id, {_SIMHASH_SQL} as simhash16
+          from documents) t
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """Frequency-weighted 16-bit SimHash as one codegen'd projection
+    (nested aggregate over tokens per bit), then a window for cluster
+    sizes. Identical md5-nibble arithmetic on both engines."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+
+    def nibble_val(t, i):
+        ch = F.substring(F.md5(t), (i / 4).cast("int") + 1, 1)
+        return F.instr(F.lit(_HEXDIGITS), ch) - 1
+
+    def bit_of(t, i):
+        v = nibble_val(t, i)
+        p = F.pow(F.lit(2.0), (F.lit(3) - (i % 4)).cast("double"))
+        return (F.floor(v / p)).cast("int") % 2
+
+    def sign_sum(i):
+        return F.aggregate(
+            F.transform(toks,
+                        lambda t: F.when(bit_of(t, i) == 1, 1).otherwise(-1)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    simhash = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.when(sign_sum(i) >= 0, 1).otherwise(0)
+            * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = docs.select("doc_id", simhash.alias("simhash16"))
+    w = Window.partitionBy("simhash16")
+    return base.select(
+        "doc_id", "simhash16",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard over a deterministic sample
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    with sample_docs as (
+      select doc_id, {_SHINGLES_SQL} as sh
+      from documents where doc_id % 7 = 0
+    ),
+    exploded as (
+      select doc_id, unnest(sh) as shingle from sample_docs
+    ),
+    sizes as (select doc_id, len(sh) as n from sample_docs),
+    shared as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             count(*) as n_shared
+      from exploded a join exploded b
+        on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select doc_a, doc_b,
+           round(n_shared / (sa.n + sb.n - n_shared), 6) as jaccard
+    from shared
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where n_shared / (sa.n + sb.n - n_shared) >= 0.02
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard on a doc_id%7 sample; the pair space is the
+    shared-shingle join (candidates only), never a cross product."""
+    docs = _t(spark, sf_dir, "documents").where("doc_id % 7 = 0")
+    toks = _toks()
+    shingles = F.when(
+        F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        )
+    )
+    sh = docs.select("doc_id", shingles.alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n")
+                               - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.02)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+float[], label).
+
+- ``ann_cosine_topk``: brute-force cosine top-k, the exactness baseline.
+  The query side is a small deterministic subset and is BROADCAST, so
+  at scale the candidate scan streams once with no shuffle of the big
+  side (scatter-gather top-k; the final global top-k per query is a
+  tiny exchange).
+- ``ann_lsh_buckets``: the scale path — md5-derived random-hyperplane
+  signs bucket every vector in one codegen'd projection; bucketed
+  search then touches only matching buckets (candidates ~ n/2^B).
+
+Dot products are computed identically (sequential left-to-right double
+sums over float32 inputs) on both engines, so results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parsee_pdf_reader_spark.plans.queries import _t, register
+
+_TOPK = 10
+_QMOD = 50  # query subset: vec_id % 50 == 0
+
+_DOT_SQL = ("list_sum(list_transform(range(len(a.embedding)), "
+            "i -> a.embedding[i+1]::double * b.embedding[i+1]::double))")
+_NORM_SQL = ("sqrt(list_sum(list_transform({e}, "
+             "x -> x::double * x::double)))")
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    with q as (select * from embeddings where vec_id % {_QMOD} = 0)
+    select query_id, neighbor_id, cos_sim
+    from (
+      select a.vec_id as query_id, b.vec_id as neighbor_id,
+             round({_DOT_SQL}
+                   / ({_NORM_SQL.format(e='a.embedding')}
+                      * {_NORM_SQL.format(e='b.embedding')}), 6)
+                 as cos_sim,
+             row_number() over (
+               partition by a.vec_id
+               order by {_DOT_SQL}
+                        / ({_NORM_SQL.format(e='a.embedding')}
+                           * {_NORM_SQL.format(e='b.embedding')}) desc,
+                        b.vec_id) as rnk
+      from q a join embeddings b on a.vec_id <> b.vec_id) t
+    where rnk <= {_TOPK}
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select("vec_id", "embedding", norm.alias("norm"))
+    q = base.where(F.col("vec_id") % _QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    joined = base.join(F.broadcast(q),
+                       F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                               F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id",
+                F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+_NPLANES = 8
+
+# plane component d of plane j: md5 nibble mapped to [-7.5, 7.5]
+_PLANE_SQL = (
+    "(instr('0123456789abcdef', "
+    "substr(md5(j::varchar || ':' || i::varchar), 1, 1)) - 1) - 7.5"
+)
+
+_BUCKET_SQL = f"""
+    list_sum(list_transform(range({_NPLANES}), j ->
+      (case when list_sum(list_transform(range(len(embedding)), i ->
+              embedding[i+1]::double * ({_PLANE_SQL})))
+            >= 0 then 1 else 0 end) * cast(power(2, j) as bigint)))
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    select vec_id, bucket,
+           count(*) over (partition by bucket) as bucket_size
+    from (select vec_id, {_BUCKET_SQL} as bucket from embeddings) t
+    """,
+)
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing as a single projection (the ANN
+    scale path: at 10^12 rows this is a map + one window/group on the
+    bucket key)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def plane_component(j, i):
+        ch = F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit(":"),
+                           i.cast("string"))), 1, 1)
+        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
+
+    def plane_dot(j):
+        n = F.size("embedding")
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.element_at("embedding", i + 1).cast("double")
+                * plane_component(j, i),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_NPLANES - 1)),
+            lambda j: F.when(plane_dot(j) >= 0, 1).otherwise(0)
+            * F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    base = emb.select("vec_id", bucket.alias("bucket"))
+    w = Window.partitionBy("bucket")
+    return base.select(
+        "vec_id", "bucket", F.count(F.lit(1)).over(w).alias("bucket_size"))

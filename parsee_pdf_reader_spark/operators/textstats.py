@@ -1,0 +1,199 @@
+"""Text-analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure projections (plus one window for fingerprint clusters): at
+10^12 rows these run entirely inside whole-stage codegen with zero
+shuffles, which is the only shape that survives that scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parsee_pdf_reader_spark.plans.queries import _t, register
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "for", "it", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",
+           "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une",
+           "dans"],
+    "es": ["el", "los", "y", "es", "no", "con", "una", "para", "por",
+           "como"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _toks_lower():
+    return F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+
+
+def _sw_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter({_TOKS_SQL}, x -> x in ({lst})))"
+
+
+_LANG_CASE = f"""
+    case
+      when {_sw_sql('en')} >= {_sw_sql('de')}
+       and {_sw_sql('en')} >= {_sw_sql('fr')}
+       and {_sw_sql('en')} >= {_sw_sql('es')} then 'en'
+      when {_sw_sql('de')} >= {_sw_sql('fr')}
+       and {_sw_sql('de')} >= {_sw_sql('es')} then 'de'
+      when {_sw_sql('fr')} >= {_sw_sql('es')} then 'fr'
+      else 'es'
+    end
+"""
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    select doc_id,
+           {_LANG_CASE} as lang_pred,
+           {_sw_sql('en')} + {_sw_sql('de')} + {_sw_sql('fr')}
+             + {_sw_sql('es')} as stopword_hits,
+           lang as lang_recorded
+    from documents
+    """,
+)
+def q_lang_id_heuristic(spark, sf_dir):
+    """Stopword-count language ID with a fixed priority tie-break
+    (en > de > fr > es)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks_lower()
+
+    def hits(lang):
+        words = _STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    h = {lang: hits(lang) for lang in _LANG_ORDER}
+    pred = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"])
+               & (h["en"] >= h["es"]), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        (h["en"] + h["de"] + h["fr"] + h["es"]).alias("stopword_hits"),
+        F.col("lang").alias("lang_recorded"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    select doc_id,
+           len({_TOKS_SQL}) as n_tokens,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1), 6) as alpha_ratio,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1), 6) as punct_ratio,
+           round({_sw_sql('en')} / greatest(len({_TOKS_SQL}), 1), 6)
+               as stopword_ratio,
+           round(length(replace(text, ' ', ''))
+                 / greatest(len({_TOKS_SQL}), 1), 4) as mean_token_len,
+           case when len({_TOKS_SQL}) >= 50
+                 and {_sw_sql('en')} / greatest(len({_TOKS_SQL}), 1) > 0.02
+                then 'high'
+                when len({_TOKS_SQL}) >= 20 then 'medium'
+                else 'low' end as quality_bucket
+    from documents
+    """,
+)
+def q_doc_quality_scores(spark, sf_dir):
+    """Length/punctuation/stopword quality features (the usual pretrain
+    filtering signals) as one pure projection."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks_lower()
+    n_tokens = F.size(toks)
+    text_len = F.greatest(F.length("text"), F.lit(1))
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / text_len
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) \
+        / text_len
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS["en"])))
+    sw_ratio = sw / F.greatest(n_tokens, F.lit(1))
+    mean_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) \
+        / F.greatest(n_tokens, F.lit(1))
+    bucket = (
+        F.when((n_tokens >= 50) & (sw_ratio > 0.02), "high")
+        .when(n_tokens >= 20, "medium")
+        .otherwise("low")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "token_counts",
+    f"""
+    select doc_id,
+           len({_TOKS_SQL}) as ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) as bpe_tokens,
+           round(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                 / greatest(len({_TOKS_SQL}), 1), 4) as bpe_per_word
+    from documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish regex token counts (training-budget
+    estimation surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(_toks_lower())
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("bpe_per_word"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    select doc_id, fp,
+           count(*) over (partition by fp) as fp_cluster_size
+    from (
+      select doc_id,
+             case when length(text) < 8 then md5(text)
+                  else list_min(list_transform(
+                         range(length(text) - 7),
+                         i -> md5(substr(text, i + 1, 8))))
+             end as fp
+      from documents) t
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: min md5 over all 8-char shingles
+    (robust to local edits), plus fingerprint-cluster sizes."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.when(F.length("text") < 8, F.md5("text")).otherwise(
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.length("text") - 8),
+                lambda i: F.md5(F.substring(F.col("text"), i + 1, 8)),
+            )
+        )
+    )
+    base = docs.select("doc_id", fp.alias("fp"))
+    w = Window.partitionBy("fp")
+    return base.select(
+        "doc_id", "fp", F.count(F.lit(1)).over(w).alias("fp_cluster_size"))

@@ -1,0 +1,138 @@
+"""The distributed extraction job: pages table -> extracted table.
+
+Scale design (100 TB / 10^12 rows):
+
+- Extraction is a *pure map*: one input row (document) -> N output rows
+  (pages). It is expressed as a single ``mapInPandas`` stage so the plan
+  contains NO shuffle between scan and sink — Catalyst keeps column
+  pruning (only ``url``/``html``/carried metadata are read) and any
+  partition filters the caller applied (``lang``, ``days(warc_ts)``)
+  are pushed to the source before the kernel.
+- Skew: document sizes are heavy-tailed and hosts are Zipf-distributed.
+  ``rebalance_by_size`` splits oversized inputs from the main flow and
+  hash-repartitions on ``xxhash64(url)`` so one giant host/document
+  cannot pin a task. This is an explicit, opt-in shuffle.
+- Arrow batches are bounded by ``spark.sql.execution.arrow.
+  maxRecordsPerBatch`` (kept small; one row can be MBs) so executor
+  memory is bounded by batch-bytes not row-count.
+- Errors never fail the job: per-document failures surface as rows with
+  ``error`` set (page_index = -1), mirroring how a 10^12-row job must
+  tolerate corrupt members.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, page_index int, "
+    "extracted_text string, "
+    "paragraphs array<struct<kind string, text string, x0 int, x1 int, "
+    "y0 int, y1 int>>, "
+    "tables array<struct<g_index int, num_rows int, num_cols int, "
+    "area array<int>, total_value_area array<int>, "
+    "value_areas array<array<int>>, "
+    "items array<struct<caption string, caption_area array<int>, "
+    "values array<struct<v string, n string>>>>>>, "
+    "n_elements int, error string"
+)
+
+
+def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols):
+    from parsee_pdf_reader_spark.kernel.engine import extract_document
+
+    base = {"url": url, "warc_ts": warc_ts, "lang": lang}
+    try:
+        pages = extract_document(bytes(blob), min_rows, min_cols)
+    except Exception as e:  # corrupt/unsupported member
+        return [dict(base, page_index=-1, extracted_text=None,
+                     paragraphs=None, tables=None, n_elements=None,
+                     error=f"{type(e).__name__}: {e}")]
+    out = []
+    for pg in pages:
+        out.append(dict(
+            base,
+            page_index=pg["page_index"],
+            extracted_text=pg["extracted_text"],
+            paragraphs=[
+                {"kind": p["kind"], "text": p["text"],
+                 "x0": int(p["box"][0]), "x1": int(p["box"][1]),
+                 "y0": int(p["box"][2]), "y1": int(p["box"][3])}
+                for p in pg["paragraphs"]
+            ],
+            tables=[
+                {"g_index": t["g_index"], "num_rows": t["num_rows"],
+                 "num_cols": t["num_cols"], "area": t["area"],
+                 "total_value_area": t["total_value_area"],
+                 "value_areas": t["value_areas"],
+                 "items": [
+                     {"caption": it["caption"],
+                      "caption_area": it["caption_area"],
+                      "values": it["values"]}
+                     for it in t["items"]
+                 ]}
+                for t in pg["tables"]
+            ],
+            n_elements=pg["n_elements"],
+            error=None,
+        ))
+    return out
+
+
+def extract_pages(pages_df: DataFrame, min_rows: int = 2, min_cols: int = 1,
+                  ) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> one row per extracted page.
+
+    A shuffle-free Arrow-batched map; the kernel is the only Python
+    stage in the plan."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for url, ts, lang, blob in zip(pdf["url"], pdf["warc_ts"],
+                                           pdf["lang"], pdf["html"]):
+                rows.extend(_doc_to_rows(url, ts, lang, blob,
+                                         min_rows, min_cols))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    cols = pages_df.select("url", "warc_ts", "lang", "html")
+    return cols.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def rebalance_by_size(pages_df: DataFrame, partitions: int,
+                      oversized_bytes: int = 8 << 20) -> DataFrame:
+    """Explicit skew control ahead of the kernel (north_rule: 'explicit
+    salting of skewed hosts').
+
+    - normal documents hash-repartition on ``xxhash64(url)`` — uniform
+      regardless of host skew;
+    - oversized documents (multi-hundred-page tails) get their own
+      round-robin partitions so a few giants don't serialize one task.
+    """
+    size = F.octet_length(F.col("html"))
+    normal = pages_df.where(size <= oversized_bytes).repartition(
+        partitions, F.xxhash64("url"))
+    giants = pages_df.where(size > oversized_bytes).repartition(
+        max(1, partitions // 8))
+    return normal.unionByName(giants)
+
+
+def run_extraction(spark, input_path: str, output_path: str,
+                   lang: Optional[str] = None, partitions: int = 0,
+                   min_rows: int = 2, min_cols: int = 1) -> DataFrame:
+    """End-to-end batch: read -> (filter) -> (rebalance) -> kernel ->
+    partitioned parquet sink. Filters are applied before the kernel so
+    they reach the scan (predicate pushdown + partition pruning)."""
+    df = spark.read.parquet(input_path)
+    if lang:
+        df = df.where(F.col("lang") == lang)
+    if partitions:
+        df = rebalance_by_size(df, partitions)
+    out = extract_pages(df, min_rows, min_cols)
+    (out.withColumn("ds", F.to_date("warc_ts"))
+        .write.mode("overwrite").partitionBy("ds").parquet(output_path))
+    return spark.read.parquet(output_path)

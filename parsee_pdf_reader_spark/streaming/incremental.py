@@ -1,0 +1,82 @@
+"""Structured-Streaming surface of the engine.
+
+The reference is batch-only (SURVEY §2.6), but the production shape of
+this job is incremental: new crawl partitions arrive continuously. Two
+streaming capabilities are provided:
+
+- ``stream_extract``: the SAME shuffle-free extraction kernel bound to
+  ``readStream`` -> ``writeStream``; exactly-once via the streaming
+  file-source commit log + sink checkpoint (complements the batch
+  ``CheckpointedExtraction`` ledger). ``availableNow`` drains the
+  backlog and stops — the cron-style incremental run.
+- ``stream_event_window_counts``: watermarked tumbling-window
+  aggregation over the events stream (late data handled by watermark
+  eviction), the standard streaming-agg skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parsee_pdf_reader_spark.pipeline import extract_pages
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
+             "lang string")
+
+
+def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str, available_now: bool = True):
+    """Incremental extraction over a growing parquet directory."""
+    src = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(input_dir)
+    )
+    out = extract_pages(src)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_window_counts(events: DataFrame,
+                               watermark: str = "30 minutes",
+                               window: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def run_stream_event_counts(spark: SparkSession, input_dir: str,
+                            output_dir: str, checkpoint_dir: str):
+    src = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(input_dir)
+    )
+    agg = stream_event_window_counts(src)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

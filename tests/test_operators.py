@@ -1,0 +1,134 @@
+"""Behavioral tests for training-data operators (dedup, similarity,
+multimodal plumbing)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parsee_pdf_reader_spark.operators.dedup import (
+    q_dedup_exact,
+    q_dedup_minhash_lsh,
+    q_dedup_simhash,
+)
+from parsee_pdf_reader_spark.operators.multimodal import (
+    build_media_blob,
+    decode_media,
+    frame_sample,
+    make_media_df,
+    media_decode_query,
+)
+from parsee_pdf_reader_spark.operators.similarity import q_ann_cosine_topk
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(spark, tmp_path_factory):
+    """A tiny documents/embeddings dir with known dups + neighbors."""
+    d = str(tmp_path_factory.mktemp("crafted"))
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    near = base.replace("sigma", "sigma2", 1)
+    docs = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),          # exact dup of 0
+        (2, near, "en", "s", len(near)),          # near dup of 0
+        (3, "totally different words entirely unrelated content here "
+            "nothing shared with others at all", "en", "s", 90),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    embs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (50, [1.0, 0.0, 0.0, 0.0], 0),   # query (vec_id % 50 == 0)
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_dedup_exact_finds_duplicate(spark, crafted_dir):
+    rows = {r.doc_id: r for r in q_dedup_exact(spark, crafted_dir).collect()}
+    assert rows[1].canonical_id == 0 and rows[1].is_dup
+    assert not rows[0].is_dup and not rows[3].is_dup
+
+
+def test_minhash_lsh_finds_near_duplicate(spark, crafted_dir):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in q_dedup_minhash_lsh(spark, crafted_dir).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_clusters_identical_docs(spark, crafted_dir):
+    rows = {r.doc_id: r for r in
+            q_dedup_simhash(spark, crafted_dir).collect()}
+    assert rows[0].simhash16 == rows[1].simhash16
+    assert rows[0].cluster_size >= 2
+
+
+def test_ann_cosine_topk_orders_neighbors(spark, crafted_dir):
+    rows = [r for r in q_ann_cosine_topk(spark, crafted_dir).collect()
+            if r.query_id == 50]
+    order = [r.neighbor_id for r in rows]
+    assert order[0] == 0          # identical vector first (cos=1)
+    assert order[1] == 2          # near neighbor second
+    assert order[-1] == 4         # opposite vector last (cos=-1)
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_media_roundtrip(spark):
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = make_media_df(spark, docs)
+    decoded = {r.doc_id: r for r in decode_media(media).collect()}
+    assert len(decoded) == 12
+    for doc_id, r in decoded.items():
+        kind, w, h, ch, fr, blob = build_media_blob(doc_id)
+        assert r.error is None
+        assert r.kind == kind and r.n_bytes == len(blob)
+        if kind in ("image", "video"):
+            assert (r.width, r.height, r.channels) == (w, h, ch)
+        if kind == "video":
+            assert r.n_frames == fr
+
+
+def test_media_real_decoder_is_stubbed(spark):
+    docs = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+    rows = decode_media(make_media_df(spark, docs),
+                        use_real_decoder=True).collect()
+    assert all(r.error and "NotImplementedError" in r.error for r in rows)
+
+
+def test_media_corrupt_blob_yields_error_row(spark):
+    df = spark.createDataFrame(
+        [(99, "image", b"JUNK")],
+        "doc_id long, kind string, media binary")
+    rows = decode_media(df).collect()
+    assert rows[0].error is not None
+
+
+def test_frame_sample(spark):
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    media = make_media_df(spark, docs)
+    frames = frame_sample(media, every_n=4).collect()
+    assert frames, "expected some video frames"
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        _k, _w, _h, _c, fr, _b = build_media_blob(doc_id)
+        assert sorted(idxs) == list(range(0, fr, 4))
+
+
+def test_media_decode_query_runs(spark):
+    rows = media_decode_query(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r.error is None for r in rows)

@@ -1,0 +1,106 @@
+"""Spark pipeline: end-to-end extraction, skew rebalance, checkpoint."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from parsee_pdf_reader_spark.pipeline import extract_pages, rebalance_by_size
+from parsee_pdf_reader_spark.sources.synth import (
+    build_document,
+    synthesize_pages_df,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, n=30):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(n)
+    return synthesize_pages_df(spark, docs)
+
+
+def test_extract_pages_end_to_end(spark, reference):
+    import refadapter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(25)
+    out = extract_pages(synthesize_pages_df(spark, docs)).collect()
+    assert len(out) >= 25
+    assert all(r.error is None for r in out)
+
+    golden = {}
+    for r in docs.select("doc_id", "text").collect():
+        key = f"doc{r.doc_id}"
+        blob, _ = build_document(key, 42, r.text)
+        url = f"https://host{r.doc_id % 97}.example/{key}.pdf"
+        golden[url] = refadapter.reference_extract_document(blob)
+    for row in out:
+        g = golden[row.url][row.page_index]
+        assert row.extracted_text == g["extracted_text"]
+        mine_tables = [t.asDict(recursive=True) for t in (row.tables or [])]
+        assert len(mine_tables) == len(g["tables"])
+        for mt, gt in zip(mine_tables, g["tables"]):
+            assert mt["num_rows"] == gt["num_rows"]
+            assert mt["num_cols"] == gt["num_cols"]
+            mv = [[(v["v"], v["n"]) for v in it["values"]]
+                  for it in mt["items"]]
+            gv = [[(v["v"], v["n"]) for v in it["values"]]
+                  for it in gt["items"]]
+            assert mv == gv
+
+
+def test_extract_plan_has_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "doc_id < 30")  # pushed-down filter, unlike limit()
+    df = extract_pages(synthesize_pages_df(spark, docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,30)]" in plan
+
+
+def test_corrupt_documents_become_error_rows(spark):
+    rows = [("u1", None, b"not a pld", "x", "en"),
+            ("u2", None, b"", "y", "en")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    out = extract_pages(df).collect()
+    assert len(out) == 2
+    assert all(r.error is not None and r.page_index == -1 for r in out)
+
+
+def test_rebalance_by_size(spark):
+    df = rebalance_by_size(_pages(spark), partitions=4)
+    assert df.count() >= 30
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from parsee_pdf_reader_spark.checkpoint import CheckpointedExtraction
+
+    inp = os.path.join(str(tmp_path), "pages")
+    outp = os.path.join(str(tmp_path), "extracted")
+    _pages(spark, 20).write.parquet(inp)
+
+    ck = CheckpointedExtraction(spark, inp, outp, run_id="t1")
+    first = ck.run(max_partitions=1)
+    assert len(first) == 1
+    # resume: already-done partition is skipped
+    ck2 = CheckpointedExtraction(spark, inp, outp, run_id="t1")
+    pending_after = ck2.pending_partitions()
+    assert first[0] not in pending_after
+    ck2.run()
+    assert ck2.pending_partitions() == []
+    # lineage/metrics recorded
+    prog = spark.read.parquet(os.path.join(outp, "_progress"))
+    rows = prog.collect()
+    assert all(r.status == "done" and r.rows_out > 0 for r in rows)
+    # outputs complete: every input url present
+    got = spark.read.parquet(os.path.join(outp, "part=*"))
+    assert got.select("url").distinct().count() == 20
+    # idempotent re-run of a done partition produces identical digest
+    d1 = {r.part: r.digest for r in rows}
+    ck3 = CheckpointedExtraction(spark, inp, outp, run_id="t2")
+    ck3.run(max_partitions=1)
+    prog2 = spark.read.parquet(os.path.join(outp, "_progress"))
+    d2 = {r.part: r.digest for r in prog2.where(F.col("run_id") == "t2")
+          .collect()}
+    for part, dig in d2.items():
+        assert d1[part] == dig
