@@ -37,11 +37,14 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "10"))
+
+
 def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
     from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = synthesize_pages_df(spark, docs)
+    pages = synthesize_pages_df(spark, docs, replicate=REPLICATE)
     pages.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()
 

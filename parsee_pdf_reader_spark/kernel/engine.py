@@ -335,25 +335,29 @@ def find_rows(toks: List[Tok]) -> List[Dict]:
     return rows
 
 
-def grow_cell(cell: Cell, row_toks: List[Tok], exclude: List,
+def grow_cell(cell: Cell, row_toks: List[Tok], exclude_keys: frozenset,
               handled: List, space_max: int) -> List:
     """Bidirectional x-gap fusion with restart-on-add
-    (pdf_page.py:356-374); membership tests are value-identity."""
+    (pdf_page.py:356-374); membership tests are value-identity
+    (key sets — equivalent to the reference's in_list scans)."""
+    skip = {t.key() for t in cell.members} | {t.key() for t in handled}
     restart = True
     while restart:
         restart = False
         for cand in row_toks:
-            if (value_in(cand, cell.members) or value_in(cand, exclude)
-                    or value_in(cand, handled)):
+            k = cand.key()
+            if k in skip or k in exclude_keys:
                 continue
             if abs(cand.x0 - cell.x1) <= space_max and cand.x1 > cell.x1:
                 cell.add(cand)
                 handled.append(cand)
+                skip.add(k)
                 restart = True
                 break
             if abs(cell.x0 - cand.x1) <= space_max and cand.x0 < cell.x0:
                 cell.add(cand)
                 handled.append(cand)
+                skip.add(k)
                 restart = True
                 break
     return handled
@@ -369,9 +373,9 @@ def build_cells(rows: List[Dict]):
         for t in r["toks"]:
             if any(t is h for h in handled):
                 continue
-            exclude = handled
+            exclude_keys = frozenset(h.key() for h in handled)
             cell = Cell([t])
-            handled = grow_cell(cell, r["toks"], exclude, [t],
+            handled = grow_cell(cell, r["toks"], exclude_keys, [t],
                                 SPACE_MAX_DISTANCE)
             cells.append(cell)
         r["cells"] = cells
@@ -441,11 +445,12 @@ def find_runs(cols: List[Dict], rows: List[Dict]):
     all_col_toks: List[Tok] = []
     for col in cols:
         all_col_toks += col["toks"]
+    all_col_keys = frozenset(t.key() for t in all_col_toks)
     for col in cols:
         filtered: List[Tok] = []
         for t in col["toks"]:
             cell = Cell([t])
-            grow_cell(cell, rows[t.row]["toks"], all_col_toks, [t],
+            grow_cell(cell, rows[t.row]["toks"], all_col_keys, [t],
                       SPACE_MAX_DISTANCE)
             if sc.is_number_cell(cell.text) or \
                     len(cell.text) <= TEXT_MAX_NUMBER_COL:
@@ -957,7 +962,7 @@ class TableK:
 
     __slots__ = ("g_index", "items", "num_rows", "num_cols", "by_row",
                  "li_area", "tva", "table_area", "value_areas",
-                 "x0", "x1", "y0", "y1")
+                 "x0", "x1", "y0", "y1", "in_area")
 
     def __init__(self, items: List[Item], g_index: int):
         self.g_index = g_index
@@ -1257,11 +1262,58 @@ def _overlap_mean(a: Zone, b) -> float:
 
 
 # ---------------------------------------------------------------------------
-# G11/G12 — paragraphs (extract.py:14-68, custom_dataclasses.py:825-873)
+# G11/G12 — paragraphs + layout-model areas
+# (extract.py:10-68, custom_dataclasses.py:238-244, 816-873)
 # ---------------------------------------------------------------------------
 
+class AreaPred:
+    """A scaled layout-model box (reference AreaPrediction,
+    custom_dataclasses.py:238-244): y-flipped into page space,
+    class_id = position in the *input* list."""
+
+    __slots__ = ("x0", "x1", "y0", "y1", "class_value", "class_id", "prob")
+
+    def __init__(self, x0, x1, y0, y1, class_value, class_id, prob):
+        self.x0 = x0
+        self.x1 = x1
+        self.y0 = y0
+        self.y1 = y1
+        self.class_value = class_value
+        self.class_id = class_id
+        self.prob = prob
+
+
+def scale_area_predictions(rel_areas, page_width: int,
+                           page_height: int) -> List[AreaPred]:
+    """relative boxes -> page space; prob>0.5 filter + sort by -prob
+    (extract.py:10-11). rel_areas: (class_name, x0, x1, y0, y1, prob)."""
+    preds = [
+        AreaPred(int(a[1] * page_width), int(a[2] * page_width),
+                 int((1 - a[4]) * page_height),
+                 int((1 - a[3]) * page_height), a[0], k, a[5])
+        for k, a in enumerate(rel_areas)
+        if a[5] > 0.5
+    ]
+    return sorted(preds, key=lambda p: -p.prob)
+
+
+class Figure:
+    """reference ExtractedFigure (custom_dataclasses.py:816-822)."""
+
+    __slots__ = ("x0", "x1", "y0", "y1")
+
+    def __init__(self, x0, x1, y0, y1):
+        self.x0 = x0
+        self.x1 = x1
+        self.y0 = y0
+        self.y1 = y1
+
+    def text_value(self) -> str:
+        return "[figure]"
+
+
 class Para:
-    __slots__ = ("elements", "x0", "x1", "y0", "y1", "text")
+    __slots__ = ("elements", "x0", "x1", "y0", "y1", "text", "area_ids")
 
     def __init__(self, el):
         self.elements = [el]
@@ -1278,6 +1330,9 @@ class Para:
         self.x1 = max(e.x1 for e in self.elements)
         self.y0 = min(e.y0 for e in self.elements)
         self.y1 = max(e.y1 for e in self.elements)
+        self.area_ids = set(
+            e.in_area.class_id for e in self.elements
+            if getattr(e, "in_area", None) is not None)
 
     def _retext(self):
         """Reference quirk preserved: line-break test compares the
@@ -1297,7 +1352,7 @@ class Para:
 class XText:
     """An extracted text element (wraps a row cell)."""
 
-    __slots__ = ("x0", "x1", "y0", "y1", "cell")
+    __slots__ = ("x0", "x1", "y0", "y1", "cell", "in_area")
 
     def __init__(self, cell):
         self.x0 = cell.x0
@@ -1305,13 +1360,15 @@ class XText:
         self.y0 = cell.y0
         self.y1 = cell.y1
         self.cell = cell
+        self.in_area = None
 
     def text_value(self) -> str:
         return self.cell.text
 
 
 def make_paragraphs(extracted: List[tuple], page_width: int,
-                    natural_text: Optional[str]) -> List:
+                    natural_text: Optional[str],
+                    element_areas: Optional[List[AreaPred]] = None) -> List:
     els: List = []
     for kind, payload in extracted:
         if kind == "table":
@@ -1321,9 +1378,19 @@ def make_paragraphs(extracted: List[tuple], page_width: int,
     els = sorted(els, key=lambda e: e.y1, reverse=True)
     nat = natural_text.replace("\n", " ") if natural_text is not None \
         else None
+    element_areas = element_areas or []
+    figures = [a for a in element_areas if a.class_value == "figure"]
     current: List[Para] = []
     out: List = []
     for el in els:
+        # first containing layout-model box wins (extract.py:26-32)
+        el.in_area = None
+        for area in element_areas:
+            if box_inside(area, el, 3):
+                el.in_area = area
+                break
+        if el.in_area is not None and any(el.in_area is f for f in figures):
+            continue  # figure contents are routed out (extract.py:33-35)
         if isinstance(el, TableK):
             out.append(el)
             continue
@@ -1336,6 +1403,10 @@ def make_paragraphs(extracted: List[tuple], page_width: int,
                 add = False
                 if h_inside(gp.x0, gp.x1, el.x0, el.x1, 3) or \
                         h_overlap(gp.x0, gp.x1, el.x0, el.x1, 3):
+                    add = True
+                elif x_distance(gp, el) <= PARA_SPACE_MAX and \
+                        el.in_area is not None and \
+                        el.in_area.class_id in gp.area_ids:
                     add = True
                 elif nat is not None and x_distance(gp, el) <= \
                         PARA_SPACE_MAX:
@@ -1354,6 +1425,8 @@ def make_paragraphs(extracted: List[tuple], page_width: int,
             p = Para(el)
             current.append(p)
             out.append(p)
+    for f in figures:
+        out.append(Figure(f.x0, f.x1, f.y0, f.y1))
     return sorted(out, key=lambda e: (1 if e.x0 > (page_width / 2) else 0,
                                       -math.floor(e.y1 / 40)))
 
@@ -1399,8 +1472,24 @@ def _serialize_table(t: TableK) -> dict:
     }
 
 
+def needs_ocr(page: codec.Page) -> bool:
+    """OCR trigger predicate (reference converter.py:136-154): no
+    layout items at all, or any ``(cid:`` glyph in a non-empty line."""
+    if not page.boxes:
+        return True
+    for box in page.boxes:
+        if box.kind == codec.KIND_TEXTBOX:
+            for line in box.lines:
+                if "".join(c.text for c in line).strip():
+                    for c in line:
+                        if c.text is not None and \
+                                c.text.startswith("(cid:"):
+                            return True
+    return False
+
+
 def extract_page(page: codec.Page, page_index: int, min_rows: int = 2,
-                 min_cols: int = 1) -> dict:
+                 min_cols: int = 1, rel_areas=None) -> dict:
     if min_cols < 1 or min_rows < 1:
         raise ValueError("a table needs at least one column and one row")
     mb = page.mediabox
@@ -1447,12 +1536,18 @@ def extract_page(page: codec.Page, page_index: int, min_rows: int = 2,
 
     tables = extract_tables(groups, rows, min_rows, min_cols)
     extracted = reconcile(tables, rows)
-    paragraphs = make_paragraphs(extracted, page_width, nat)
+    element_areas = (scale_area_predictions(rel_areas, page_width,
+                                            page_height)
+                     if rel_areas else None)
+    paragraphs = make_paragraphs(extracted, page_width, nat, element_areas)
 
     para_items = []
     for el in paragraphs:
         if isinstance(el, TableK):
             para_items.append({"kind": "table", "text": "",
+                               "box": [el.x0, el.x1, el.y0, el.y1]})
+        elif isinstance(el, Figure):
+            para_items.append({"kind": "figure", "text": "[figure]",
                                "box": [el.x0, el.x1, el.y0, el.y1]})
         else:
             para_items.append({"kind": "p", "text": el.text,
@@ -1466,11 +1561,19 @@ def extract_page(page: codec.Page, page_index: int, min_rows: int = 2,
         "paragraphs": para_items,
         "tables": table_dicts,
         "n_elements": len(extracted),
+        "needs_ocr": needs_ocr(page),
     }
 
 
-def extract_document(blob: bytes, min_rows: int = 2,
-                     min_cols: int = 1) -> List[dict]:
+def extract_document(blob: bytes, min_rows: int = 2, min_cols: int = 1,
+                     areas_by_page: Optional[Dict[int, list]] = None,
+                     ) -> List[dict]:
+    """areas_by_page: optional {page_index: [(class_name, x0, x1, y0,
+    y1, prob), ...]} relative layout-model boxes (reference
+    ``detected_areas``, extract.py:75-85)."""
     pages = codec.decode_document(blob)
-    return [extract_page(p, i, min_rows, min_cols)
-            for i, p in enumerate(pages)]
+    out = []
+    for i, p in enumerate(pages):
+        rel = areas_by_page.get(i) if areas_by_page else None
+        out.append(extract_page(p, i, min_rows, min_cols, rel))
+    return out

@@ -100,7 +100,7 @@ class Tok:
     scale)``, ``row`` assigned by row clustering, value identity =
     (coords, text)."""
 
-    __slots__ = ("x0", "x1", "y0", "y1", "text", "bold", "row")
+    __slots__ = ("x0", "x1", "y0", "y1", "text", "bold", "row", "_key")
 
     def __init__(self, x0: int, x1: int, y0: int, y1: int, text: str,
                  bold: bool, row: Optional[int] = None):
@@ -111,10 +111,16 @@ class Tok:
         self.text = text
         self.bold = bold
         self.row = row
+        self._key = None
 
     def key(self) -> Tuple[int, int, int, int, str]:
-        return (round(self.x0), round(self.x1), round(self.y0),
-                round(self.y1), self.text)
+        # coords/text are immutable except through merge_in (which
+        # invalidates), so the value-identity key is cached
+        k = self._key
+        if k is None:
+            k = self._key = (round(self.x0), round(self.x1),
+                             round(self.y0), round(self.y1), self.text)
+        return k
 
     def merge_in(self, other: "Tok"):
         """Positional text concat + bbox union
@@ -134,6 +140,7 @@ class Tok:
         self.y0 = min(self.y0, other.y0)
         self.y1 = max(self.y1, other.y1)
         self.row = min(self.row, other.row)
+        self._key = None
 
     def copy(self) -> "Tok":
         return Tok(self.x0, self.x1, self.y0, self.y1, self.text, self.bold,

@@ -36,20 +36,33 @@ EXTRACT_SCHEMA = (
     "value_areas array<array<int>>, "
     "items array<struct<caption string, caption_area array<int>, "
     "values array<struct<v string, n string>>>>>>, "
-    "n_elements int, error string"
+    "n_elements int, ocr_needed boolean, error string"
 )
 
+#: optional layout-model predictions column accepted by extract_pages
+AREAS_DDL = ("array<struct<page int, class_name string, x0 float, "
+             "x1 float, y0 float, y1 float, prob float>>")
 
-def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols):
+
+def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols,
+                 areas=None):
     from parsee_pdf_reader_spark.kernel.engine import extract_document
 
     base = {"url": url, "warc_ts": warc_ts, "lang": lang}
+    areas_by_page = None
+    if areas is not None:
+        areas_by_page = {}
+        for a in areas:
+            areas_by_page.setdefault(int(a["page"]), []).append(
+                (a["class_name"], a["x0"], a["x1"], a["y0"], a["y1"],
+                 a["prob"]))
     try:
-        pages = extract_document(bytes(blob), min_rows, min_cols)
+        pages = extract_document(bytes(blob), min_rows, min_cols,
+                                 areas_by_page)
     except Exception as e:  # corrupt/unsupported member
         return [dict(base, page_index=-1, extracted_text=None,
                      paragraphs=None, tables=None, n_elements=None,
-                     error=f"{type(e).__name__}: {e}")]
+                     ocr_needed=None, error=f"{type(e).__name__}: {e}")]
     out = []
     for pg in pages:
         out.append(dict(
@@ -76,6 +89,7 @@ def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols):
                 for t in pg["tables"]
             ],
             n_elements=pg["n_elements"],
+            ocr_needed=pg["needs_ocr"],
             error=None,
         ))
     return out
@@ -83,24 +97,52 @@ def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols):
 
 def extract_pages(pages_df: DataFrame, min_rows: int = 2, min_cols: int = 1,
                   ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> one row per extracted page.
+    """pages(url, warc_ts, html, text, lang[, areas]) -> one row per
+    extracted page. An optional ``areas`` column (AREAS_DDL) carries
+    layout-model predictions (figure routing etc.).
 
     A shuffle-free Arrow-batched map; the kernel is the only Python
     stage in the plan."""
     import pandas as pd
 
+    has_areas = "areas" in pages_df.columns
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for url, ts, lang, blob in zip(pdf["url"], pdf["warc_ts"],
-                                           pdf["lang"], pdf["html"]):
+            areas_col = pdf["areas"] if has_areas else [None] * len(pdf)
+            for url, ts, lang, blob, areas in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"],
+                    areas_col):
                 rows.extend(_doc_to_rows(url, ts, lang, blob,
-                                         min_rows, min_cols))
+                                         min_rows, min_cols, areas))
             if rows:
                 yield pd.DataFrame(rows)
 
-    cols = pages_df.select("url", "warc_ts", "lang", "html")
-    return cols.mapInPandas(run, schema=EXTRACT_SCHEMA)
+    sel = ["url", "warc_ts", "lang", "html"] + (
+        ["areas"] if has_areas else [])
+    return pages_df.select(*sel).mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def tables_df_format(extracted_df: DataFrame) -> DataFrame:
+    """The reference's ``df_format`` sink shape
+    (custom_dataclasses.py:954-968) relationally: one row per line
+    item with the caption and the value list (``col_0..n`` as array)."""
+    return (
+        extracted_df
+        .select("url", "page_index",
+                F.posexplode("tables").alias("table_pos", "t"))
+        .select("url", "page_index", "table_pos",
+                F.col("t.g_index").alias("g_index"),
+                F.posexplode("t.items").alias("row_idx", "li"))
+        .select(
+            "url", "page_index", "table_pos", "g_index", "row_idx",
+            F.col("li.caption").alias("item"),
+            F.transform("li.values", lambda v: v["v"]).alias("cols"),
+            F.transform("li.values", lambda v: v["n"].cast("double"))
+            .alias("cols_numeric"),
+        )
+    )
 
 
 def rebalance_by_size(pages_df: DataFrame, partitions: int,

@@ -306,6 +306,32 @@ def build_document(key: str, seed: int = 42,
     return encode_document(pages), doc_text
 
 
+def build_area_predictions(key: str, n_pages: int, seed: int = 42):
+    """Deterministic fake layout-model predictions per page (the
+    reference's optional ``detected_areas`` input, extract.py:75-85):
+    relative boxes with class names and probabilities, some below the
+    0.5 keep-threshold."""
+    rng = _rng_for("areas:" + key, seed)
+    out = {}
+    for p in range(n_pages):
+        if rng.random() < 0.4:
+            continue
+        areas = []
+        for _ in range(int(rng.integers(1, 4))):
+            cls = str(rng.choice(["figure", "text", "table", "title"]))
+            x0 = float(rng.uniform(0.05, 0.6))
+            y0 = float(rng.uniform(0.05, 0.6))
+            areas.append((
+                cls, round(x0, 3), round(x0 + float(rng.uniform(0.1, 0.35)),
+                                         3),
+                round(y0, 3), round(y0 + float(rng.uniform(0.05, 0.3)), 3),
+                round(float(rng.uniform(0.2, 0.99)), 3),
+            ))
+        if areas:
+            out[p] = areas
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Spark-side corpus materialization
 # ---------------------------------------------------------------------------
@@ -314,39 +340,41 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
                 "lang string")
 
 
-def synthesize_pages_df(spark, docs_df, seed: int = 42):
+def synthesize_pages_df(spark, docs_df, seed: int = 42,
+                        replicate: int = 1):
     """documents(doc_id, text, lang, ...) -> Common-Crawl-style pages table.
 
     Runs the generator inside ``mapInPandas`` so corpus bytes are
     produced on executors in parallel (no driver materialization, no
-    shuffle — a pure map over the documents scan)."""
+    shuffle — a pure map over the documents scan). ``replicate`` > 1
+    emits that many distinct deterministic documents per source row
+    (bench-scale corpora, FIXTURES.md §1)."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            urls, blobs, texts = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                key = f"doc{int(doc_id)}"
-                host = int(doc_id) % 97  # Zipf-ish host collisions
-                url = f"https://host{host}.example/{key}.pdf"
-                blob, doc_text = build_document(key, seed, text)
-                urls.append(url)
-                blobs.append(blob)
-                texts.append(doc_text)
-            out = pd.DataFrame(
-                {
-                    "url": urls,
-                    "warc_ts": pd.Timestamp("2025-06-01")
-                    + pd.to_timedelta(pdf["doc_id"] % 86400, unit="s"),
-                    "html": blobs,
-                    "text": texts,
-                    "lang": pdf["lang"].fillna("en"),
-                }
-            )
-            yield out
+            urls, tss, blobs, texts, langs = [], [], [], [], []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                doc_id = int(doc_id)
+                for j in range(replicate):
+                    key = f"doc{doc_id}" if j == 0 else f"doc{doc_id}r{j}"
+                    host = (doc_id * replicate + j) % 97  # Zipf-ish hosts
+                    urls.append(f"https://host{host}.example/{key}.pdf")
+                    blob, doc_text = build_document(key, seed, text)
+                    blobs.append(blob)
+                    texts.append(doc_text)
+                    tss.append(pd.Timestamp("2025-06-01")
+                               + pd.Timedelta(seconds=doc_id % 86400))
+                    langs.append(lang if lang is not None else "en")
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": blobs,
+                 "text": texts, "lang": langs})
 
     cols = docs_df.select("doc_id", "text", "lang")
+    if replicate > 1:
+        # spread generation before the fan-out so executors share it
+        cols = cols.repartition(64, "doc_id")
     return cols.mapInPandas(gen, schema=PAGES_SCHEMA)

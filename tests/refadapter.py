@@ -78,16 +78,25 @@ def _ser_table(t) -> dict:
 
 
 def reference_extract_document(blob: bytes, min_rows: int = 2,
-                               min_cols: int = 1) -> List[dict]:
-    """Golden per-page outputs for one PLD1 document."""
+                               min_cols: int = 1,
+                               areas_by_page=None) -> List[dict]:
+    """Golden per-page outputs for one PLD1 document.
+
+    areas_by_page: {page_index: [(class_name, x0, x1, y0, y1, prob)]}
+    relative layout-model boxes, like extract.py's detected_areas."""
     pdf_reader = refshim.install_reference()
     from pdf_reader.custom_dataclasses import (
+        ExtractedFigure,
         ExtractedTable,
         NaturalTextHelper,
         PdfReaderConfig,
         PdfParagraph,
+        RelativeAreaPrediction,
     )
-    from pdf_reader.extract import make_paragraphs
+    from pdf_reader.extract import (
+        make_paragraphs,
+        relative_areas_to_area_predictions,
+    )
     from pdf_reader.pdf_page import ParseePdfPage
 
     pages = codec.decode_document(blob)
@@ -101,8 +110,14 @@ def reference_extract_document(blob: bytes, min_rows: int = 2,
         )
         elements = p.extract_text_and_tables(min_rows=min_rows,
                                              min_cols=min_cols)
+        areas = None
+        if areas_by_page and page_index in areas_by_page:
+            rel = [RelativeAreaPrediction(*a)
+                   for a in areas_by_page[page_index]]
+            areas = relative_areas_to_area_predictions(
+                rel, p.page_size.width(), p.page_size.height())
         paragraphs = make_paragraphs(
-            elements, PdfReaderConfig(20, 10, 6), None,
+            elements, PdfReaderConfig(20, 10, 6), areas,
             p.natural_text.text_raw, p.page_size.width(),
         )
         tables = [_ser_table(t) for t in elements
@@ -112,6 +127,10 @@ def reference_extract_document(blob: bytes, min_rows: int = 2,
             if isinstance(el, ExtractedTable):
                 para_items.append(
                     {"kind": "table", "text": "",
+                     "box": [el.x0, el.x1, el.y0, el.y1]})
+            elif isinstance(el, ExtractedFigure):
+                para_items.append(
+                    {"kind": "figure", "text": el.get_text(),
                      "box": [el.x0, el.x1, el.y0, el.y1]})
             elif isinstance(el, PdfParagraph):
                 para_items.append(

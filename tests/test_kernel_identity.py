@@ -68,3 +68,48 @@ def test_tables_detected_at_all(reference):
         for pg in extract_document(blob):
             n_tables += len(pg["tables"])
     assert n_tables >= 10
+
+
+def test_kernel_matches_reference_with_area_predictions(reference):
+    """Figure routing + layout-model grouping (P6/P7, extract.py:10-35,
+    65-66) against the reference."""
+    from parsee_pdf_reader_spark.sources.layout_codec import decode_document
+    from parsee_pdf_reader_spark.sources.synth import build_area_predictions
+    import refadapter
+
+    n_figures = 0
+    for i in range(40):
+        key = f"doc{i}"
+        blob, _ = build_document(key, 42)
+        n_pages = len(decode_document(blob))
+        areas = build_area_predictions(key, n_pages, 42)
+        ref = refadapter.reference_extract_document(blob,
+                                                    areas_by_page=areas)
+        mine = extract_document(blob, areas_by_page=areas)
+        for m, r in zip(mine, ref):
+            assert m["extracted_text"] == r["extracted_text"], key
+            assert m["paragraphs"] == r["paragraphs"], key
+            n_figures += sum(1 for p in r["paragraphs"]
+                             if p["kind"] == "figure")
+    assert n_figures > 0, "corpus produced no figures — vacuous test"
+
+
+def test_needs_ocr_predicate():
+    """converter.py:136-154 semantics on PLD1 pages."""
+    from parsee_pdf_reader_spark.kernel.engine import needs_ocr
+    from parsee_pdf_reader_spark.sources import layout_codec as codec
+
+    def page_of(texts):
+        chars = [codec.Char(10 + 5 * i, 14 + 5 * i, 700, 710, 10.0, False,
+                            t) for i, t in enumerate(texts)]
+        return codec.Page((0, 0, 612, 792), None,
+                          [codec.Box(codec.KIND_TEXTBOX, lines=[chars])])
+
+    assert needs_ocr(codec.Page((0, 0, 612, 792), None, []))
+    assert not needs_ocr(page_of(list("hello")))
+    assert needs_ocr(page_of(["h", "(cid:12)", "x"]))
+    # whitespace-only lines don't count
+    assert not needs_ocr(codec.Page(
+        (0, 0, 612, 792), None,
+        [codec.Box(codec.KIND_TEXTBOX, lines=[[codec.Char(
+            0, 4, 700, 710, 10.0, False, " ")]])]))

@@ -104,3 +104,57 @@ def test_checkpoint_resume(spark, tmp_path):
           .collect()}
     for part, dig in d2.items():
         assert d1[part] == dig
+
+
+def test_extract_pages_with_areas_column(spark, reference):
+    """Optional areas column routes figures end to end."""
+    import refadapter
+    from parsee_pdf_reader_spark.sources.layout_codec import decode_document
+    from parsee_pdf_reader_spark.sources.synth import (
+        build_area_predictions,
+        build_document,
+    )
+    from pyspark.sql import Row
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .where("doc_id < 20").select("doc_id", "text").collect()
+    rows, golden = [], {}
+    for r in docs:
+        key = f"doc{r.doc_id}"
+        blob, doc_text = build_document(key, 42, r.text)
+        n_pages = len(decode_document(blob))
+        areas = build_area_predictions(key, n_pages, 42)
+        url = f"u{r.doc_id}"
+        golden[url] = refadapter.reference_extract_document(
+            blob, areas_by_page=areas)
+        area_rows = [Row(page=p, class_name=a[0], x0=float(a[1]),
+                         x1=float(a[2]), y0=float(a[3]), y1=float(a[4]),
+                         prob=float(a[5]))
+                     for p, lst in areas.items() for a in lst]
+        rows.append((url, None, blob, doc_text, "en", area_rows))
+    from parsee_pdf_reader_spark.pipeline import AREAS_DDL
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              f"lang string, areas {AREAS_DDL}")
+    out = extract_pages(df).collect()
+    assert all(r.error is None for r in out)
+    n_fig = 0
+    for r in out:
+        g = golden[r.url][r.page_index]
+        assert r.extracted_text == g["extracted_text"]
+        n_fig += sum(1 for p in (r.paragraphs or [])
+                     if p.kind == "figure")
+    assert n_fig > 0
+
+
+def test_tables_df_format(spark):
+    from parsee_pdf_reader_spark.pipeline import tables_df_format
+
+    out = extract_pages(_pages(spark))
+    fmt = tables_df_format(out)
+    rows = fmt.collect()
+    assert rows, "no table line items found"
+    assert {"url", "page_index", "g_index", "row_idx", "item", "cols",
+            "cols_numeric"} <= set(fmt.columns)
+    r = rows[0]
+    assert len(r.cols) == len(r.cols_numeric)
