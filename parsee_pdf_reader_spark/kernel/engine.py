@@ -1489,9 +1489,21 @@ def needs_ocr(page: codec.Page) -> bool:
 
 
 def extract_page(page: codec.Page, page_index: int, min_rows: int = 2,
-                 min_cols: int = 1, rel_areas=None) -> dict:
+                 min_cols: int = 1, rel_areas=None,
+                 ocr_engine=None, force_ocr: bool = False) -> dict:
     if min_cols < 1 or min_rows < 1:
         raise ValueError("a table needs at least one column and one row")
+    ocr_fired = False
+    if ocr_engine is not None and (force_ocr or needs_ocr(page)):
+        # OCR repair branch (converter.py:105-108): the engine's char
+        # stream replaces the page's layout; natural text sidecar is
+        # dropped (repair_layout returns NaturalTextHelper(None))
+        res = ocr_engine(page, page_index)
+        if res is not None:
+            mediabox, chars = res
+            page = codec.Page(mediabox, None,
+                              [codec.Box(codec.KIND_CHARS, lines=[chars])])
+            ocr_fired = True
     mb = page.mediabox
     page_w_raw = mb[2] - mb[0]
     page_h_raw = mb[3] - mb[1]
@@ -1561,19 +1573,24 @@ def extract_page(page: codec.Page, page_index: int, min_rows: int = 2,
         "paragraphs": para_items,
         "tables": table_dicts,
         "n_elements": len(extracted),
-        "needs_ocr": needs_ocr(page),
+        "needs_ocr": False if ocr_fired else needs_ocr(page),
+        "ocr_applied": ocr_fired,
     }
 
 
 def extract_document(blob: bytes, min_rows: int = 2, min_cols: int = 1,
                      areas_by_page: Optional[Dict[int, list]] = None,
+                     ocr_engine=None, force_ocr: bool = False,
                      ) -> List[dict]:
     """areas_by_page: optional {page_index: [(class_name, x0, x1, y0,
     y1, prob), ...]} relative layout-model boxes (reference
-    ``detected_areas``, extract.py:75-85)."""
+    ``detected_areas``, extract.py:75-85). ocr_engine: optional
+    callable(page, page_index) -> (mediabox, chars) for the OCR repair
+    branch (see sources/ocr.py)."""
     pages = codec.decode_document(blob)
     out = []
     for i, p in enumerate(pages):
         rel = areas_by_page.get(i) if areas_by_page else None
-        out.append(extract_page(p, i, min_rows, min_cols, rel))
+        out.append(extract_page(p, i, min_rows, min_cols, rel,
+                                ocr_engine, force_ocr))
     return out
