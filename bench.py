@@ -44,6 +44,13 @@ def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
     from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = docs.count() * REPLICATE
+    try:  # deterministic corpus: reuse if complete
+        n = spark.read.parquet(out_dir).count()
+        if n == expected:
+            return n
+    except Exception:
+        pass
     pages = synthesize_pages_df(spark, docs, replicate=REPLICATE)
     pages.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()
@@ -68,8 +75,14 @@ def main():
     corpus_dir = os.path.join(tempfile.gettempdir(),
                               f"parsee_bench_corpus_{os.path.basename(SF_DIR)}")
 
+    # kernel-bound stages need fine-grained input splits: a blob row is
+    # ~20KB but costs ~10ms of kernel time, so the default 128m
+    # partitions leave most cores idle (measured 0.29 scaling
+    # efficiency before; near-linear after)
+    blob_conf = {"spark.ui.enabled": "false",
+                 "spark.sql.files.maxPartitionBytes": "8m"}
     spark = get_spark("parsee-bench", master=f"local[{CPUS}]",
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf=blob_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = {}
@@ -105,7 +118,7 @@ def main():
         for cores in (8, 32):
             s = get_spark(f"parsee-bench-{cores}",
                           master=f"local[{cores}]",
-                          extra_conf={"spark.ui.enabled": "false"})
+                          extra_conf=blob_conf)
             s.sparkContext.setLogLevel("ERROR")
             dt = time_extraction(s, corpus_dir)
             scaling[str(cores)] = round(n_docs / dt, 2)
@@ -116,7 +129,8 @@ def main():
     else:
         spark.stop()
 
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+    if os.environ.get("SPARK_GRAFT_BENCH_KEEP_CORPUS") != "1":
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(result))
 
 

@@ -1,0 +1,62 @@
+"""spark-submit entry point for the extraction job.
+
+    spark-submit --py-files parsee_pdf_reader_spark.zip \
+        jobs/extract_job.py \
+        --input  s3://bucket/pages/            \
+        --output s3://bucket/extracted/        \
+        --lang en --partitions 4096 --run-id r1 [--resume]
+
+At cluster scale:
+- build the zip with ``python jobs/package.py`` (pure-Python package,
+  no native deps on the happy path; tesseract/poppler only for the OCR
+  branch);
+- ``--partitions`` sizes the explicit skew rebalance (xxhash64(url)
+  salting + oversized-document side path);
+- ``--resume`` drives the per-partition ``_progress`` ledger so a
+  failed run restarts exactly where it stopped (idempotent overwrite
+  per partition).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lang", default=None)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--min-rows", type=int, default=2)
+    ap.add_argument("--min-cols", type=int, default=1)
+    ap.add_argument("--run-id", default="r1")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpointed per-partition mode")
+    args = ap.parse_args()
+
+    from parsee_pdf_reader_spark.session import get_spark
+
+    spark = get_spark("parsee-extract")
+    if args.resume:
+        from parsee_pdf_reader_spark.checkpoint import (
+            CheckpointedExtraction,
+        )
+
+        ck = CheckpointedExtraction(spark, args.input, args.output,
+                                    run_id=args.run_id)
+        done = ck.run()
+        print(f"processed partitions: {done}")
+    else:
+        from parsee_pdf_reader_spark.pipeline import run_extraction
+
+        out = run_extraction(spark, args.input, args.output,
+                             lang=args.lang, partitions=args.partitions,
+                             min_rows=args.min_rows,
+                             min_cols=args.min_cols)
+        print(f"rows written: {out.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,10 @@ _LEXICON = (
 ).split()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def char_width(ch: str, size: float) -> float:
     if ch == " ":
         return round(0.30 * size, 2)
