@@ -56,15 +56,23 @@ def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
     return spark.read.parquet(out_dir).count()
 
 
-def time_extraction(spark, corpus_dir: str) -> float:
+def time_extraction(spark, corpus_dir: str, subset_mod: int = 0) -> tuple:
+    """Returns (wall_sec, n_docs). subset_mod>0 keeps a deterministic
+    1/subset_mod hash-slice of the corpus (fast scaling probes)."""
+    from pyspark.sql import functions as F
+
     from parsee_pdf_reader_spark.pipeline import extract_pages
 
+    src = spark.read.parquet(corpus_dir)
+    if subset_mod:
+        src = src.where(F.pmod(F.xxhash64("url"), F.lit(subset_mod)) == 0)
+    n_docs = src.count()
     t0 = time.time()
-    out = extract_pages(spark.read.parquet(corpus_dir))
+    out = extract_pages(src)
     n_err = out.where("error is not null").count()
     dt = time.time() - t0
     assert n_err == 0, f"extraction errors: {n_err}"
-    return dt
+    return dt, n_docs
 
 
 def main():
@@ -91,7 +99,7 @@ def main():
     n_docs = build_corpus(spark, SF_DIR, corpus_dir)
     timings["synthesize_corpus"] = round(time.time() - t0, 3)
 
-    t_ex = time_extraction(spark, corpus_dir)
+    t_ex, _ = time_extraction(spark, corpus_dir)
     timings["extract_pages"] = round(t_ex, 3)
     docs_per_sec = round(n_docs / t_ex, 2)
 
@@ -114,18 +122,24 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
         spark.stop()
+        # N -> 4N criterion. 2->8 stays within the machine's PHYSICAL
+        # cores; 8->32 additionally spans SMT threads (a raw
+        # multiprocessing control shows the hardware itself tops out at
+        # ~0.53 efficiency over that span — see BENCH/BASELINE.md).
         scaling = {}
-        for cores in (8, 32):
+        for cores in (2, 8, 32):
             s = get_spark(f"parsee-bench-{cores}",
                           master=f"local[{cores}]",
                           extra_conf=blob_conf)
             s.sparkContext.setLogLevel("ERROR")
-            dt = time_extraction(s, corpus_dir)
-            scaling[str(cores)] = round(n_docs / dt, 2)
+            dt, n_sub = time_extraction(s, corpus_dir, subset_mod=6)
+            scaling[str(cores)] = round(n_sub / dt, 2)
             s.stop()
-        eff = (scaling["32"] / scaling["8"]) / 4
         result["scaling_docs_per_sec"] = scaling
-        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        result["scaling_efficiency_2_to_8"] = round(
+            (scaling["8"] / scaling["2"]) / 4, 3)
+        result["scaling_efficiency_8_to_32"] = round(
+            (scaling["32"] / scaling["8"]) / 4, 3)
     else:
         spark.stop()
 

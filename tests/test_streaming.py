@@ -51,3 +51,43 @@ def test_stream_event_window_counts(spark, tmp_path):
     assert {"window_start", "window_end", "event_type", "n_events",
             "sum_value"} <= set(out.columns)
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_stateful_session_tracking(spark, tmp_path):
+    """applyInPandasWithState: sessions close on gap; counts correct."""
+    import pandas as pd
+
+    from parsee_pdf_reader_spark.streaming.stateful import (
+        run_stream_user_sessions,
+    )
+
+    inp = str(tmp_path / "ev_in")
+    outp = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "ck3")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+    rows = []
+    # user 1: two sessions split by a 2h gap; user 2: one session
+    for i, off in enumerate([0, 60, 120, 7800, 7860]):
+        rows.append((i, (base + pd.Timedelta(seconds=off))
+                     .to_pydatetime(), 1, "click", 1.0, ""))
+    for i, off in enumerate([0, 300, 600]):
+        rows.append((100 + i, (base + pd.Timedelta(seconds=off))
+                     .to_pydatetime(), 2, "view", 1.0, ""))
+    # closers far in the future flush the open sessions in-batch
+    rows.append((999, (base + pd.Timedelta(days=2)).to_pydatetime(), 1,
+                 "click", 1.0, ""))
+    rows.append((998, (base + pd.Timedelta(days=2)).to_pydatetime(), 2,
+                 "view", 1.0, ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(inp)
+
+    q = run_stream_user_sessions(spark, inp, outp, ck)
+    q.awaitTermination(240)
+    out = spark.read.parquet(outp).collect()
+    sess = {}
+    for r in out:
+        sess.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(sess[1]) == [2, 3]   # 3-event + 2-event closed sessions
+    assert sess[2] == [3]
