@@ -43,6 +43,37 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _web_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic boilerplate-wrapped web pages -> HTML
+    main-content extraction (rows-only: golden-tested in pytest)."""
+    from pyspark.sql import functions as F
+
+    from parsee_pdf_reader_spark.operators.html_extract import (
+        extract_web_pages,
+    )
+    from parsee_pdf_reader_spark.sources.synth import build_html_document
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob, _g = build_html_document(f"doc{int(doc_id)}", 42,
+                                               text)
+                rows.append({"url": f"https://h.example/{int(doc_id)}",
+                             "warc_ts": None, "html": blob,
+                             "text": text, "lang": "en"})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    return extract_web_pages(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _flagship(spark, "/root/testdata/sf0.001")
@@ -60,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["extract_pages_flagship"] = _flagship
     out["media_decode_stub"] = media_decode_query
+    out["extract_web_pages"] = _web_flagship
     return out
 
 

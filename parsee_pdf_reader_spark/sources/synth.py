@@ -310,6 +310,53 @@ def build_document(key: str, seed: int = 42,
     return encode_document(pages), doc_text
 
 
+def build_html_document(key: str, seed: int = 42,
+                        text: Optional[str] = None) -> Tuple[bytes, str]:
+    """Deterministic boilerplate-wrapped web page; returns (html bytes,
+    expected main text) — the golden for the HTML extractor."""
+    rng = _rng_for("html:" + key, seed)
+    words = _doc_words(rng, text)
+    wpos = 0
+
+    def take(n: int) -> List[str]:
+        nonlocal wpos
+        out = [words[(wpos + i) % len(words)] for i in range(n)]
+        wpos += n
+        return out
+
+    title = " ".join(take(4)).title()
+    nav_links = "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in take(6))
+    paras = []
+    golden_blocks = []
+    n_paras = int(rng.integers(3, 9))
+    for _ in range(n_paras):
+        p_words = take(int(rng.integers(12, 60)))
+        ptext = " ".join(p_words)
+        paras.append(f"<p>{ptext}</p>")
+        golden_blocks.append(ptext)
+        if rng.random() < 0.3:
+            # a link-heavy related-articles block: must be dropped
+            rel = "".join(f'<a href="#{w}">{w} {w}</a> ' for w in take(8))
+            paras.append(f'<div class="related">{rel}</div>')
+    heading = " ".join(take(3))
+    golden_blocks.insert(0, heading)
+    ad = ('<aside><div>Advertisement</div>'
+          '<a href="/buy">buy now cheap deals</a></aside>')
+    footer = ("<footer><a href='/tos'>terms</a>"
+              "<a href='/privacy'>privacy</a> copyright 2025</footer>")
+    html = (
+        "<!DOCTYPE html><html><head><title>" + title + "</title>"
+        "<style>p{margin:0}</style>"
+        "<script>var x = '<p>not content</p>';</script></head><body>"
+        "<header><h5>" + " ".join(take(2)) + "</h5></header>"
+        "<nav><ul>" + nav_links + "</ul></nav>" + ad +
+        "<article><h1>" + heading + "</h1>" + "".join(paras) +
+        "</article>" + footer + "</body></html>"
+    )
+    return html.encode("utf-8"), "\n\n".join(golden_blocks)
+
+
 def build_area_predictions(key: str, n_pages: int, seed: int = 42):
     """Deterministic fake layout-model predictions per page (the
     reference's optional ``detected_areas`` input, extract.py:75-85):
