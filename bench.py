@@ -127,12 +127,20 @@ def main():
         # multiprocessing control shows the hardware itself tops out at
         # ~0.53 efficiency over that span — see BENCH/BASELINE.md).
         scaling = {}
+        subset_dir = corpus_dir + "_scaling_subset"
         for cores in (2, 8, 32):
             s = get_spark(f"parsee-bench-{cores}",
                           master=f"local[{cores}]",
                           extra_conf=blob_conf)
             s.sparkContext.setLogLevel("ERROR")
-            dt, n_sub = time_extraction(s, corpus_dir, subset_mod=6)
+            if cores == 2:  # materialize the probe slice once
+                from pyspark.sql import functions as F
+
+                (s.read.parquet(corpus_dir)
+                 .where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+                 .repartition(64)
+                 .write.mode("overwrite").parquet(subset_dir))
+            dt, n_sub = time_extraction(s, subset_dir)
             scaling[str(cores)] = round(n_sub / dt, 2)
             s.stop()
         result["scaling_docs_per_sec"] = scaling
