@@ -140,8 +140,14 @@ def main():
                  .where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
                  .repartition(64)
                  .write.mode("overwrite").parquet(subset_dir))
-            dt, n_sub = time_extraction(s, subset_dir)
-            scaling[str(cores)] = round(n_sub / dt, 2)
+            # two timed runs per level, best-of (first run pays Python
+            # worker startup + page-cache warmup)
+            best = None
+            for _rep in range(2):
+                dt, n_sub = time_extraction(s, subset_dir)
+                thr = n_sub / dt
+                best = thr if best is None or thr > best else best
+            scaling[str(cores)] = round(best, 2)
             s.stop()
         result["scaling_docs_per_sec"] = scaling
         result["scaling_efficiency_2_to_8"] = round(

@@ -216,9 +216,13 @@ class Zone:
     # -- element-fitted box maintenance (custom_dataclasses.py:460-521) --
 
     def put(self, el):
+        """put_element (custom_dataclasses.py:460-463): note the
+        reference's fit_elements(el) RESETS all_row_indices to just the
+        new element's row (custom_dataclasses.py:488-503) — a quirk the
+        T7 value-absorption row check depends on; reproduced."""
         self.members.append(el)
         self._expand_el(el)
-        self.rows.add(el.row)
+        self.rows = {el.row}
 
     def _expand_el(self, el):
         if self.ex0 is None or el.x0 < self.ex0:

@@ -310,6 +310,71 @@ def build_document(key: str, seed: int = 42,
     return encode_document(pages), doc_text
 
 
+def build_stress_document(key: str, seed: int = 42) -> bytes:
+    """Adversarial layouts: near-touching columns, interleaved text
+    rows, stacked tables, tight leading (row-merge tolerance), numeric
+    captions, duplicate tokens, paren-heavy text, single-token rows —
+    the greedy-clustering edge paths of the reference."""
+    rng = _rng_for("stress:" + key, seed)
+    landscape = rng.random() < 0.3
+    width, height = (792.0, 612.0) if landscape else (612.0, 792.0)
+    pb = _PageBuilder(width, height)
+    variant = int(rng.integers(0, 7))
+
+    if variant == 0:  # near-touching numeric columns + text interleave
+        col_rights = [300.0, 345.0, 392.0, 436.0]
+        pb.table(rng, 40.0, col_rights, n_rows=int(rng.integers(5, 10)))
+        pb.advance(14.0)
+        pb.paragraph(["interleaved", "annotation", "line", "between",
+                      "rows"], 40.0, 400.0)
+        pb.advance(2.0)
+        pb.table(rng, 40.0, col_rights, n_rows=4, header=False)
+    elif variant == 1:  # stacked tables (stackable-combine path)
+        rights = [360.0, 440.0]
+        pb.table(rng, 45.0, rights, n_rows=4, header=False)
+        pb.advance(16.0)
+        pb.table(rng, 45.0, rights, n_rows=4, header=False)
+        pb.advance(16.0)
+        pb.table(rng, 45.0, [362.0, 441.0], n_rows=3, header=False)
+    elif variant == 2:  # tight leading: rows within merge tolerance
+        pb.paragraph(_LEXICON[:14], 45.0, 500.0, leading=11.5)
+        pb.advance(24.0)
+        pb.table(rng, 45.0, [350.0, 430.0, 510.0],
+                 n_rows=6, leading=11.5)
+    elif variant == 3:  # numeric captions + paren storms
+        words = ["(12)", "3)", "((x))", "(loss)", "4,5(", ")", "(",
+                 "1,2,3", "()", "12(a)", "(b)13"]
+        for _ in range(3):
+            pb.paragraph([words[int(rng.integers(0, len(words)))]
+                          for _ in range(12)], 45.0, 480.0)
+            pb.advance(26.0)
+        pb.table(rng, 45.0, [380.0, 460.0], n_rows=5)
+    elif variant == 4:  # duplicate tokens at identical coordinates
+        line = "total total total revenue"
+        chars = _line_chars(line, 45.0, height - 60.0, 10.0)
+        dup = [Char(c.x0, c.x1, c.y0, c.y1, c.size, c.bold, c.text)
+               for c in chars]
+        pb.boxes.append(Box(KIND_TEXTBOX, lines=[chars]))
+        pb.boxes.append(Box(KIND_TEXTBOX, lines=[dup]))
+        pb.nat_lines.append(line)
+        pb.nat_lines.append(line)
+        pb.y = height - 90.0
+        pb.table(rng, 45.0, [350.0, 430.0], n_rows=5)
+    elif variant == 5:  # far-apart columns (group split path)
+        sep = 420.0 if landscape else 330.0
+        pb.table(rng, 40.0, [230.0, sep + 230.0], n_rows=6, header=False)
+        pb.advance(30.0)
+        pb.paragraph(_LEXICON[14:40], 40.0, width - 80.0)
+    else:  # single-token rows + a one-line page section
+        for k in range(6):
+            pb.paragraph([_LEXICON[k]], 45.0 + 40 * k, 200.0)
+            pb.advance(4.0)
+        pb.advance(30.0)
+        pb.table(rng, 45.0, [400.0, 480.0], n_rows=3)
+
+    return encode_document([pb.to_page()])
+
+
 def build_html_document(key: str, seed: int = 42,
                         text: Optional[str] = None) -> Tuple[bytes, str]:
     """Deterministic boilerplate-wrapped web page; returns (html bytes,

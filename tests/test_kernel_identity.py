@@ -113,3 +113,16 @@ def test_needs_ocr_predicate():
         (0, 0, 612, 792), None,
         [codec.Box(codec.KIND_TEXTBOX, lines=[[codec.Char(
             0, 4, 700, 710, 10.0, False, " ")]])]))
+
+
+def test_kernel_matches_reference_stress_layouts(reference):
+    """Adversarial layouts: near-touching columns, interleaved rows,
+    stacked tables, tight leading, numeric captions, duplicate tokens —
+    caught the put_element row-set reset quirk
+    (custom_dataclasses.py:488-503) in round 1."""
+    from parsee_pdf_reader_spark.sources.synth import build_stress_document
+
+    for i in range(60):
+        key = f"s{i}"
+        blob = build_stress_document(key, 42)
+        _compare_doc(key, blob, reference)
