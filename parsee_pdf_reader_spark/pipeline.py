@@ -63,6 +63,13 @@ def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols,
         return [dict(base, page_index=-1, extracted_text=None,
                      paragraphs=None, tables=None, n_elements=None,
                      ocr_needed=None, error=f"{type(e).__name__}: {e}")]
+    if not pages:
+        # zero-page documents must still appear in the output: at
+        # 10^12 rows a silently dropped url is indistinguishable from
+        # data loss in the per-partition ledger audit
+        return [dict(base, page_index=-1, extracted_text=None,
+                     paragraphs=None, tables=None, n_elements=None,
+                     ocr_needed=None, error="EmptyDocument: 0 pages")]
     out = []
     for pg in pages:
         out.append(dict(

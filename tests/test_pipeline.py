@@ -158,3 +158,16 @@ def test_tables_df_format(spark):
             "cols_numeric"} <= set(fmt.columns)
     r = rows[0]
     assert len(r.cols) == len(r.cols_numeric)
+
+
+def test_zero_page_document_emits_marker_row(spark):
+    """Every input url must appear in the output (found by /verify:
+    a PLD1 header with n_pages=0 silently vanished)."""
+    df = spark.createDataFrame(
+        [("z1", None, b"PLD1\x00\x00", "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    rows = extract_pages(df).collect()
+    assert len(rows) == 1
+    assert rows[0].page_index == -1
+    assert "EmptyDocument" in rows[0].error
