@@ -49,12 +49,13 @@ class Char:
     __slots__ = ("x0", "x1", "y0", "y1", "size", "bold", "text")
 
     def __init__(self, x0, x1, y0, y1, size, bold, text):
-        self.x0 = float(x0)
-        self.x1 = float(x1)
-        self.y0 = float(y0)
-        self.y1 = float(y1)
-        self.size = float(size)
-        self.bold = bool(bold)
+        # callers pass numeric values already (struct unpack / generator)
+        self.x0 = x0
+        self.x1 = x1
+        self.y0 = y0
+        self.y1 = y1
+        self.size = size
+        self.bold = bold
         self.text = text
 
 
@@ -110,49 +111,56 @@ def encode_document(pages: List[Page]) -> bytes:
     return b"".join(out)
 
 
+_U16 = struct.Struct("<H")
+_U32 = struct.Struct("<I")
+_MB = struct.Struct("<4d")
+_RECT = struct.Struct("<4f")
+_CHAR = struct.Struct("<5fBB")
+
+
 def decode_document(buf: bytes) -> List[Page]:
     if buf[:4] != MAGIC:
         raise ValueError("not a PLD1 document")
     pos = 4
-    (n_pages,) = struct.unpack_from("<H", buf, pos)
+    (n_pages,) = _U16.unpack_from(buf, pos)
     pos += 2
     pages = []
     for _ in range(n_pages):
-        mediabox = struct.unpack_from("<4d", buf, pos)
+        mediabox = _MB.unpack_from(buf, pos)
         pos += 32
-        (tlen,) = struct.unpack_from("<I", buf, pos)
+        (tlen,) = _U32.unpack_from(buf, pos)
         pos += 4
         if tlen == _NONE_TEXT:
             natural_text: Optional[str] = None
         else:
             natural_text = buf[pos:pos + tlen].decode("utf-8")
             pos += tlen
-        (n_boxes,) = struct.unpack_from("<H", buf, pos)
+        (n_boxes,) = _U16.unpack_from(buf, pos)
         pos += 2
         boxes = []
         for _ in range(n_boxes):
-            (kind,) = struct.unpack_from("<B", buf, pos)
+            kind = buf[pos]
             pos += 1
             if kind == KIND_NONTEXT:
-                rect = struct.unpack_from("<4f", buf, pos)
+                rect = _RECT.unpack_from(buf, pos)
                 pos += 16
                 boxes.append(Box(kind, rect=rect))
                 continue
-            (n_lines,) = struct.unpack_from("<H", buf, pos)
+            (n_lines,) = _U16.unpack_from(buf, pos)
             pos += 2
             lines = []
+            unpack_char = _CHAR.unpack_from
             for _ in range(n_lines):
-                (n_chars,) = struct.unpack_from("<H", buf, pos)
+                (n_chars,) = _U16.unpack_from(buf, pos)
                 pos += 2
                 chars = []
+                append = chars.append
                 for _ in range(n_chars):
-                    x0, x1, y0, y1, size, flags, ln = struct.unpack_from(
-                        "<5fBB", buf, pos
-                    )
+                    x0, x1, y0, y1, size, flags, ln = unpack_char(buf, pos)
                     pos += 22
                     text = buf[pos:pos + ln].decode("utf-8")
                     pos += ln
-                    chars.append(Char(x0, x1, y0, y1, size, flags & 1, text))
+                    append(Char(x0, x1, y0, y1, size, flags & 1, text))
                 lines.append(chars)
             boxes.append(Box(kind, lines=lines))
         pages.append(Page(mediabox, natural_text, boxes))

@@ -319,7 +319,7 @@ def build_stress_document(key: str, seed: int = 42) -> bytes:
     landscape = rng.random() < 0.3
     width, height = (792.0, 612.0) if landscape else (612.0, 792.0)
     pb = _PageBuilder(width, height)
-    variant = int(rng.integers(0, 7))
+    variant = int(rng.integers(0, 9))
 
     if variant == 0:  # near-touching numeric columns + text interleave
         col_rights = [300.0, 345.0, 392.0, 436.0]
@@ -365,12 +365,28 @@ def build_stress_document(key: str, seed: int = 42) -> bytes:
         pb.table(rng, 40.0, [230.0, sep + 230.0], n_rows=6, header=False)
         pb.advance(30.0)
         pb.paragraph(_LEXICON[14:40], 40.0, width - 80.0)
-    else:  # single-token rows + a one-line page section
+    elif variant == 6:  # single-token rows + a one-line page section
         for k in range(6):
             pb.paragraph([_LEXICON[k]], 45.0 + 40 * k, 200.0)
             pb.advance(4.0)
         pb.advance(30.0)
         pb.table(rng, 45.0, [400.0, 480.0], n_rows=3)
+    elif variant == 7:  # tables inside a two-column layout
+        half = width / 2
+        pb.table(rng, 40.0, [half - 120.0, half - 50.0],
+                 n_rows=int(rng.integers(4, 8)))
+        pb.y = height - 40.0
+        pb.table(rng, half + 20.0, [width - 120.0, width - 50.0],
+                 n_rows=int(rng.integers(4, 8)))
+        pb.advance(30.0)
+        pb.paragraph(_LEXICON[:20], half + 20.0, width / 2 - 70.0)
+    else:  # table jammed against page edges (top + bottom margins ~0)
+        pb.y = height - 12.0
+        pb.table(rng, 2.0, [width * 0.6, width * 0.75, width - 4.0],
+                 n_rows=int(rng.integers(3, 7)))
+        pb.y = 14.0 * 4
+        pb.table(rng, 2.0, [width * 0.6, width - 4.0], n_rows=3,
+                 header=False)
 
     return encode_document([pb.to_page()])
 
