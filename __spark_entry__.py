@@ -74,6 +74,19 @@ def _web_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_web_pages(pages)
 
 
+def _tables_df_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference df_format sink shape over extracted tables
+    (rows-only; shape-tested in pytest)."""
+    from parsee_pdf_reader_spark.pipeline import (
+        extract_pages,
+        tables_df_format,
+    )
+    from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tables_df_format(extract_pages(synthesize_pages_df(spark, docs)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _flagship(spark, "/root/testdata/sf0.001")
@@ -92,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_pages_flagship"] = _flagship
     out["media_decode_stub"] = media_decode_query
     out["extract_web_pages"] = _web_flagship
+    out["tables_df_format"] = _tables_df_format
     return out
 
 

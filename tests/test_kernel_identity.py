@@ -126,3 +126,27 @@ def test_kernel_matches_reference_stress_layouts(reference):
         key = f"s{i}"
         blob = build_stress_document(key, 42)
         _compare_doc(key, blob, reference)
+
+
+def test_golden_table_shapes(reference):
+    """Reference-style golden-count assertions (integration_tests.py:4-47
+    model): pinned table shapes for three fixture documents. These pin
+    the synthetic corpus + kernel together: regenerating either changes
+    the goldens deliberately, not silently."""
+    shapes = {}
+    for key in ("doc3", "doc7", "s272"):
+        if key.startswith("s"):
+            from parsee_pdf_reader_spark.sources.synth import (
+                build_stress_document,
+            )
+
+            blob = build_stress_document(key, 42)
+        else:
+            blob, _ = build_document(key, 42)
+        shapes[key] = [
+            (pg["page_index"], t["num_rows"], t["num_cols"])
+            for pg in extract_document(blob) for t in pg["tables"]
+        ]
+    assert shapes["doc3"] == [(0, 12, 3)], shapes["doc3"]
+    assert shapes["doc7"] == [(0, 12, 4)], shapes["doc7"]
+    assert shapes["s272"] == [(0, 6, 2)], shapes["s272"]
