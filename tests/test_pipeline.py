@@ -171,3 +171,37 @@ def test_zero_page_document_emits_marker_row(spark):
     assert len(rows) == 1
     assert rows[0].page_index == -1
     assert "EmptyDocument" in rows[0].error
+
+
+def test_training_corpus_composition(spark):
+    """End-to-end training-data build: dispatch -> extract -> quality
+    filter -> dedup -> token accounting over a mixed corpus."""
+    from parsee_pdf_reader_spark.sources.synth import build_html_document
+    from parsee_pdf_reader_spark.training_pipeline import (
+        build_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "doc_id < 25")
+    layout = synthesize_pages_df(spark, docs)
+    web_rows = []
+    for i in range(10):
+        blob, golden = build_html_document(f"web{i}", 42)
+        web_rows.append((f"https://w.example/{i}", None, blob, golden,
+                         "en"))
+    # a duplicated web page (same bytes, different url) for the dedup leg
+    blob, golden = build_html_document("web0", 42)
+    web_rows.append(("https://w.example/dup0", None, blob, golden, "en"))
+    web = spark.createDataFrame(
+        web_rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+    corpus = build_training_corpus(layout.unionByName(web))
+    rows = corpus.collect()
+    assert rows
+    kinds = {r.source_kind for r in rows}
+    assert kinds == {"layout", "html"}
+    assert all(r.n_tokens >= 30 and r.bpe_tokens >= r.n_tokens
+               for r in rows)
+    by_url = {r.url: r for r in rows}
+    assert by_url["https://w.example/0"].is_canonical
+    assert not by_url["https://w.example/dup0"].is_canonical
