@@ -16,6 +16,7 @@ surface.
 
 from __future__ import annotations
 
+import bisect
 from typing import List, Optional, Set, Tuple
 
 
@@ -159,9 +160,13 @@ def value_in(tok: Tok, toks) -> bool:
 class Cell:
     """Fused row cell — the reference's ``BaseElementGroup``
     (custom_dataclasses.py:374-398): bbox/text/bold/row derived from
-    members; text joins members sorted by (row, x0)."""
+    members; text joins members sorted by (row, x0). ``add`` maintains
+    the sorted view incrementally (bisect insort-right == Python's
+    stable sort for equal keys), so per-add cost is O(n) join instead
+    of O(n log n) sort."""
 
-    __slots__ = ("members", "x0", "x1", "y0", "y1", "text", "bold", "row")
+    __slots__ = ("members", "x0", "x1", "y0", "y1", "text", "bold",
+                 "row", "_ordered")
 
     def __init__(self, members: List[Tok]):
         self.members = list(members)
@@ -173,14 +178,31 @@ class Cell:
         self.x1 = max((t.x1 for t in ms), default=None)
         self.y0 = min((t.y0 for t in ms), default=None)
         self.y1 = max((t.y1 for t in ms), default=None)
-        ordered = sorted(ms, key=lambda t: (t.row, t.x0))
-        self.text = " ".join(t.text for t in ordered)
+        self._ordered = sorted(ms, key=lambda t: (t.row, t.x0))
+        self.text = " ".join(t.text for t in self._ordered)
         self.bold = any(t.bold for t in ms)
         self.row = min((t.row for t in ms), default=0)
 
     def add(self, tok: Tok):
         self.members.append(tok)
-        self.refit()
+        if len(self.members) == 1:
+            self.refit()
+            return
+        if tok.x0 < self.x0:
+            self.x0 = tok.x0
+        if tok.x1 > self.x1:
+            self.x1 = tok.x1
+        if tok.y0 < self.y0:
+            self.y0 = tok.y0
+        if tok.y1 > self.y1:
+            self.y1 = tok.y1
+        bisect.insort_right(self._ordered, tok,
+                            key=lambda t: (t.row, t.x0))
+        self.text = " ".join(t.text for t in self._ordered)
+        if tok.bold:
+            self.bold = True
+        if tok.row < self.row:
+            self.row = tok.row
 
     def key(self):
         return (round(self.x0), round(self.x1), round(self.y0),
