@@ -45,7 +45,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _web_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> synthetic boilerplate-wrapped web pages -> HTML
-    main-content extraction (rows-only: golden-tested in pytest)."""
+    main-content extraction. Gate columns are restricted to the ones
+    the corpus GENERATOR knows independently (title / main_text /
+    n_kept), so the DuckDB twin over fixtures/golden_web_sf0.01.parquet
+    is a true oracle, not a regression pin."""
     from pyspark.sql import functions as F
 
     from parsee_pdf_reader_spark.operators.html_extract import (
@@ -71,7 +74,9 @@ def _web_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select("doc_id", "text").mapInPandas(
         gen, schema="url string, warc_ts timestamp, html binary, "
                     "text string, lang string")
-    return extract_web_pages(pages)
+    return extract_web_pages(pages).select(
+        "url", "title", "main_text",
+        F.col("n_kept").cast("int").alias("n_kept"))
 
 
 def _tables_df_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,13 +114,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+#: golden extraction dumps pinned by tools/make_goldens.py — produced
+#: by running the ACTUAL reference engine (tests/refshim) over the
+#: exact sf0.01 corpus the Spark queries synthesize; the web golden is
+#: generator-known truth. These turn the byte-identity pytest gate into
+#: driver-visible hash_match rows. (The driver compares at sf=0.01.)
+_FIXDIR = os.path.join(_REPO, "fixtures")
+
+_GOLDEN_ORACLES = {
+    "extract_pages_flagship": f"""
+        select url, page_index, extracted_text, n_tables, n_paragraphs,
+               n_elements, error
+        from '{_FIXDIR}/golden_flagship_sf0.01.parquet'
+    """,
+    "tables_df_format": f"""
+        select url, page_index, table_pos, g_index, row_idx, item,
+               col_idx, cell_v, cell_n
+        from '{_FIXDIR}/golden_tables_sf0.01.parquet'
+    """,
+    "extract_web_pages": f"""
+        select url, title, main_text, n_kept
+        from '{_FIXDIR}/golden_web_sf0.01.parquet'
+    """,
+}
+
+
 def oracle_sql() -> dict[str, str]:
     import parsee_pdf_reader_spark.operators  # noqa: F401 (registers ops)
     from parsee_pdf_reader_spark.plans.queries import REGISTRY
 
-    # extract_pages_flagship / media_decode_stub are intentionally
-    # absent: the layout kernel and the media decode stage are not
-    # SQL-expressible; their correctness gates are the byte-identity
-    # pytest suite against the reference engine (tests/test_kernel_*)
-    # and the multimodal unit tests.
-    return {name: sql for name, (_fn, sql) in REGISTRY.items()}
+    # media_decode_stub is intentionally absent: the media decode stage
+    # is not SQL-expressible; its correctness gate is the multimodal
+    # unit-test suite (rows-only at the driver).
+    out = {name: sql for name, (_fn, sql) in REGISTRY.items()}
+    out.update(_GOLDEN_ORACLES)
+    return out

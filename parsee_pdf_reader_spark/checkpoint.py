@@ -15,6 +15,16 @@ Iceberg ``overwritePartitions`` + a ``_progress`` table in production):
   skipped; a partition is written atomically (separate dir per
   partition, overwrite mode) before its ledger row is appended, so a
   crash between the two re-does at most one partition (idempotent).
+
+Scan economics: each partition costs ONE read of that partition's
+input (rows_in is an ``observe()`` metric on the extraction's own
+scan) plus one read-back of its (much smaller) output for the digest.
+For the per-partition input filter to PRUNE files rather than scan the
+whole input, ``partition_expr`` should be the table's physical
+partition column (``ds`` for a hive-layout dir, hidden partitioning on
+Iceberg makes ``days(warc_ts)`` prune natively); an arbitrary
+expression over an unpartitioned dir degrades to a full scan per
+partition — acceptable for staging dirs, not for a 100 TB input.
 """
 
 from __future__ import annotations
@@ -48,8 +58,18 @@ class CheckpointedExtraction:
     def completed_partitions(self) -> List[str]:
         try:
             df = self.spark.read.parquet(self.progress_path)
-        except Exception:
-            return []
+        except Exception as e:
+            # ONLY a missing ledger means "fresh run". A corrupt or
+            # transiently unreadable ledger must propagate: silently
+            # reprocessing everything is idempotent but O(full job),
+            # and it would mask real ledger corruption.
+            from pyspark.errors import AnalysisException
+
+            if isinstance(e, AnalysisException) and (
+                    "PATH_NOT_FOUND" in str(e)
+                    or "Path does not exist" in str(e)):
+                return []
+            raise
         return [
             r.part
             for r in df.where((F.col("run_id") == self.run_id)
@@ -80,14 +100,24 @@ class CheckpointedExtraction:
         pending = self.pending_partitions()
         if max_partitions is not None:
             pending = pending[:max_partitions]
+        from pyspark.sql import Observation
+
         for part in pending:
             t0 = time.time()
             src = self.spark.read.parquet(self.input_path).where(
                 F.expr(self.partition_expr).cast("string") == part)
-            rows_in = src.count()
+            # rows_in comes from an Observation on the extraction's own
+            # scan — NO separate count() pass over the input (at 100 TB
+            # an extra count is a second full read of the partition)
+            obs = Observation(f"in:{part}")
+            src = src.observe(obs, F.count(F.lit(1)).alias("rows_in"))
             out = extract_pages(src)
             part_dir = os.path.join(self.output_path, f"part={part}")
             out.write.mode("overwrite").parquet(part_dir)
+            rows_in = int(obs.get["rows_in"])
+            # the digest pass deliberately re-reads the WRITTEN files —
+            # it certifies what was persisted, not what was computed;
+            # this is the only extra pass (over the small output side)
             written = self.spark.read.parquet(part_dir)
             agg = written.agg(
                 F.count("*").alias("n"),

@@ -179,7 +179,7 @@ _HEXDIGITS = "0123456789abcdef"
 
 # per token t and bit i: hex nibble i//4 of md5(t), bit 3-(i%4) of it
 _SIMHASH_SQL = f"""
-    list_sum(list_transform(range(16), i ->
+    cast(list_sum(list_transform(range(16), i ->
       (case when list_sum(list_transform({_TOKS_SQL}, t ->
          case when cast(floor(
                  (instr('{_HEXDIGITS}',
@@ -187,6 +187,7 @@ _SIMHASH_SQL = f"""
                  / power(2, 3 - (i % 4))) as int) % 2 = 1
               then 1 else -1 end)) >= 0
             then 1 else 0 end) * cast(power(2, i) as bigint)))
+        as bigint)
 """
 
 
@@ -246,21 +247,37 @@ def q_dedup_simhash(spark, sf_dir):
 # exact n-gram Jaccard over a deterministic sample
 # ---------------------------------------------------------------------------
 
+#: max documents a shingle may appear in and still carry dedup signal.
+#: A stop-phrase shingle shared by k docs would contribute k^2 rows to
+#: the pair join (the classic skew bomb at 10^12 docs) while telling us
+#: nothing about near-duplication — so Jaccard is defined over the
+#: *discriminative* shingle universe (df <= cap), on BOTH engines.
+_DF_CAP = 64
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
-    with sample_docs as (
-      select doc_id, {_SHINGLES_SQL} as sh
-      from documents where doc_id % 7 = 0
+    with sh_docs as (
+      select doc_id, {_SHINGLES_SQL} as sh from documents
     ),
     exploded as (
-      select doc_id, unnest(sh) as shingle from sample_docs
+      select doc_id, unnest(sh) as shingle from sh_docs
     ),
-    sizes as (select doc_id, len(sh) as n from sample_docs),
+    freq as (
+      select shingle, count(*) as df from exploded group by 1
+    ),
+    kept as (
+      select e.doc_id, e.shingle, f.df
+      from exploded e join freq f using (shingle)
+      where f.df <= {_DF_CAP}
+    ),
+    sizes as (select doc_id, count(*) as n from kept group by 1),
     shared as (
       select a.doc_id as doc_a, b.doc_id as doc_b,
              count(*) as n_shared
-      from exploded a join exploded b
+      from (select * from kept where df >= 2) a
+      join (select * from kept where df >= 2) b
         on a.shingle = b.shingle and a.doc_id < b.doc_id
       group by 1, 2
     )
@@ -273,9 +290,13 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard on a doc_id%7 sample; the pair space is the
-    shared-shingle join (candidates only), never a cross product."""
-    docs = _t(spark, sf_dir, "documents").where("doc_id % 7 = 0")
+    """Exact 3-gram Jaccard over ALL documents, skew-safe: shingles
+    with document frequency > _DF_CAP are dropped from the universe
+    before the self-join (one groupBy + join on the shingle key), and
+    df=1 shingles are pruned from the join input (they cannot form a
+    pair). The pair space is therefore bounded by df-capped shared
+    shingles — ~O(dups), never O(n^2) and never a hot-key k^2 bucket."""
+    docs = _t(spark, sf_dir, "documents")
     toks = _toks()
     shingles = F.when(
         F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
@@ -288,10 +309,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         )
     )
     sh = docs.select("doc_id", shingles.alias("sh"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = exploded.join(freq, "shingle").where(F.col("df") <= _DF_CAP)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = kept.where(F.col("df") >= 2).select("doc_id", "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -304,8 +328,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n")
                                - F.col("n_shared"))
     return (
-        shared.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= 0.02)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

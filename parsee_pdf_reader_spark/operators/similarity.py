@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from parsee_pdf_reader_spark.plans.queries import _t, register
 
 _TOPK = 10
-_QMOD = 50  # query subset: vec_id % 50 == 0
+#: FIXED-size query set (constant count, not a modulus of the corpus):
+#: the broadcast side must stay O(1) as the corpus grows, otherwise the
+#: "small side is broadcast" claim silently breaks at scale. vec_ids
+#: are dense from 0, so this is always exactly min(n, _NQUERIES) rows.
+_NQUERIES = 10
 
 _DOT_SQL = ("list_sum(list_transform(range(len(a.embedding)), "
             "i -> a.embedding[i+1]::double * b.embedding[i+1]::double))")
@@ -32,7 +36,7 @@ _NORM_SQL = ("sqrt(list_sum(list_transform({e}, "
 @register(
     "ann_cosine_topk",
     f"""
-    with q as (select * from embeddings where vec_id % {_QMOD} = 0)
+    with q as (select * from embeddings where vec_id < {_NQUERIES})
     select query_id, neighbor_id, cos_sim
     from (
       select a.vec_id as query_id, b.vec_id as neighbor_id,
@@ -58,7 +62,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     norm = F.sqrt(
         F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
     base = emb.select("vec_id", "embedding", norm.alias("norm"))
-    q = base.where(F.col("vec_id") % _QMOD == 0).select(
+    q = base.where(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -91,10 +95,11 @@ _PLANE_SQL = (
 )
 
 _BUCKET_SQL = f"""
-    list_sum(list_transform(range({_NPLANES}), j ->
+    cast(list_sum(list_transform(range({_NPLANES}), j ->
       (case when list_sum(list_transform(range(len(embedding)), i ->
               embedding[i+1]::double * ({_PLANE_SQL})))
             >= 0 then 1 else 0 end) * cast(power(2, j) as bigint)))
+         as bigint)
 """
 
 

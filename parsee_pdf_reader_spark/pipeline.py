@@ -168,8 +168,11 @@ def extract_pages(pages_df: DataFrame, min_rows: int = 2, min_cols: int = 1,
 
 def tables_df_format(extracted_df: DataFrame) -> DataFrame:
     """The reference's ``df_format`` sink shape
-    (custom_dataclasses.py:954-968) relationally: one row per line
-    item with the caption and the value list (``col_0..n`` as array)."""
+    (custom_dataclasses.py:954-968) relationally: one row per table
+    CELL — fully scalar columns (``item`` caption + per-column value)
+    so the row set is hashable by any downstream comparer. The
+    reference's row-dict ``{"item": caption, "col_k": v}`` is this
+    table pivoted on ``col_idx``."""
     return (
         extracted_df
         .select("url", "page_index",
@@ -180,9 +183,13 @@ def tables_df_format(extracted_df: DataFrame) -> DataFrame:
         .select(
             "url", "page_index", "table_pos", "g_index", "row_idx",
             F.col("li.caption").alias("item"),
-            F.transform("li.values", lambda v: v["v"]).alias("cols"),
-            F.transform("li.values", lambda v: v["n"].cast("double"))
-            .alias("cols_numeric"),
+            F.posexplode("li.values").alias("col_idx", "cell"),
+        )
+        .select(
+            "url", "page_index", "table_pos", "g_index", "row_idx",
+            "item", "col_idx",
+            F.col("cell.v").alias("cell_v"),
+            F.col("cell.n").alias("cell_n"),
         )
     )
 
@@ -192,17 +199,25 @@ def rebalance_by_size(pages_df: DataFrame, partitions: int,
     """Explicit skew control ahead of the kernel (north_rule: 'explicit
     salting of skewed hosts').
 
-    - normal documents hash-repartition on ``xxhash64(url)`` — uniform
-      regardless of host skew;
+    SINGLE-PASS: one computed partition key + one repartition — the
+    source is scanned exactly once (a filter-and-union formulation
+    would scan a 100 TB input twice).
+
+    - normal documents spread over ``partitions`` keys via
+      ``xxhash64(url)`` — uniform regardless of host skew;
     - oversized documents (multi-hundred-page tails) get their own
-      round-robin partitions so a few giants don't serialize one task.
+      ``partitions // 8`` key range so a few giants don't pin the
+      same tasks as the bulk flow.
     """
     size = F.octet_length(F.col("html"))
-    normal = pages_df.where(size <= oversized_bytes).repartition(
-        partitions, F.xxhash64("url"))
-    giants = pages_df.where(size > oversized_bytes).repartition(
-        max(1, partitions // 8))
-    return normal.unionByName(giants)
+    giant_slots = max(1, partitions // 8)
+    key = (
+        F.when(size > oversized_bytes,
+               F.pmod(F.xxhash64("url", F.lit("g")), F.lit(giant_slots)))
+        .otherwise(F.lit(giant_slots)
+                   + F.pmod(F.xxhash64("url"), F.lit(partitions)))
+    )
+    return pages_df.repartition(partitions + giant_slots, key)
 
 
 def run_extraction(spark, input_path: str, output_path: str,

@@ -174,8 +174,11 @@ def q_sessionize_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(
-        F.lag("ts").over(w))
+    # fractional-second gaps: DuckDB epoch() keeps microseconds while
+    # Spark unix_timestamp() truncates — compare in micros (same fix
+    # as asof_join_click_view, relational_extra.py)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = (us(F.col("ts")) - us(F.lag("ts").over(w))) / 1e6
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (
         ev.withColumn("is_new", is_new)
@@ -234,9 +237,10 @@ _TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
                as n_numeric,
            len(list_filter(toks, x -> {O.is_negative('x')}))
                as n_negative,
-           coalesce(list_sum(list_transform(toks,
+           cast(coalesce(list_sum(list_transform(toks,
                x -> coalesce(cast(round({O.clean_numeric_value('x')}
                                          * 10000) as bigint), 0))), 0)
+                as bigint)
                as sum_scaled
     from (select doc_id, {_TOKENS_SQL} as toks from documents) t
     """,

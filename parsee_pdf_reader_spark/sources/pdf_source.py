@@ -50,14 +50,18 @@ def _flatten(layout_obj, out: List[Box]):
             lines = []
             for o in lt._objs:
                 if isinstance(o, LTTextLine):
+                    # isinstance(LTChar), NOT hasattr(get_text): pdfminer
+                    # interleaves LTAnno (virtual space/newline) members
+                    # that have get_text but no bbox, and the reference
+                    # tokenizer skips them (pdf_page.py:148)
                     lines.append([_char_of(c) for c in o._objs
-                                  if hasattr(c, "get_text")])
+                                  if isinstance(c, LTChar)])
             out.append(Box(0, lines=lines))
         elif isinstance(lt, LTChar):
             out.append(Box(1, lines=[[_char_of(lt)]]))
         elif isinstance(lt, LTTextLine):
             out.append(Box(1, lines=[[_char_of(c) for c in lt._objs
-                                      if hasattr(c, "get_text")]]))
+                                      if isinstance(c, LTChar)]]))
 
 
 def parse_pdf_bytes(pdf_bytes: bytes) -> Optional[List[Page]]:

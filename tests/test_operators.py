@@ -41,11 +41,11 @@ def crafted_dir(spark, tmp_path_factory):
     ).write.parquet(os.path.join(d, "documents.parquet"))
 
     embs = [
-        (0, [1.0, 0.0, 0.0, 0.0], 0),
-        (50, [1.0, 0.0, 0.0, 0.0], 0),   # query (vec_id % 50 == 0)
-        (2, [0.9, 0.1, 0.0, 0.0], 0),
-        (3, [0.0, 1.0, 0.0, 0.0], 1),
-        (4, [-1.0, 0.0, 0.0, 0.0], 1),
+        (0, [1.0, 0.0, 0.0, 0.0], 0),    # the query (vec_id < 10)
+        (10, [1.0, 0.0, 0.0, 0.0], 0),   # identical -> cos 1
+        (12, [0.9, 0.1, 0.0, 0.0], 0),   # near neighbor
+        (13, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal
+        (14, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite -> cos -1
     ]
     spark.createDataFrame(
         embs, "vec_id long, embedding array<float>, label int"
@@ -76,13 +76,45 @@ def test_simhash_clusters_identical_docs(spark, crafted_dir):
 
 def test_ann_cosine_topk_orders_neighbors(spark, crafted_dir):
     rows = [r for r in q_ann_cosine_topk(spark, crafted_dir).collect()
-            if r.query_id == 50]
+            if r.query_id == 0]
     order = [r.neighbor_id for r in rows]
-    assert order[0] == 0          # identical vector first (cos=1)
-    assert order[1] == 2          # near neighbor second
-    assert order[-1] == 4         # opposite vector last (cos=-1)
+    assert order[0] == 10         # identical vector first (cos=1)
+    assert order[1] == 12         # near neighbor second
+    assert order[-1] == 14        # opposite vector last (cos=-1)
     sims = [r.cos_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ngram_jaccard_hot_shingle_defused(spark, tmp_path):
+    """One stop-phrase shingle shared by > _DF_CAP docs must NOT create
+    a k^2 pair bucket (the 100 TB skew bomb); genuine duplicate pairs
+    (low-df shingles) must still surface."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _DF_CAP,
+        q_ngram_jaccard_pairs,
+    )
+
+    d = str(tmp_path)
+    hot = "click here to subscribe"  # 4 tokens -> 2 hot trigrams
+    docs = [
+        (i, f"{hot} unique{i}a filler{i}b words{i}c body{i}d tail{i}e",
+         "en", "s", 60)
+        for i in range(_DF_CAP + 6)   # hot shingles: df > cap
+    ]
+    dup = "genuine duplicated document body with identical phrasing runs"
+    docs += [(900, dup, "en", "s", len(dup)),
+             (901, dup, "en", "s", len(dup))]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in q_ngram_jaccard_pairs(spark, d).collect()}
+    assert (900, 901) in pairs and pairs[(900, 901)] == 1.0
+    # no pair among the hot-shingle docs: their only shared shingles
+    # exceeded the df cap and were dropped from the universe
+    assert all({a, b} == {900, 901} for a, b in pairs)
 
 
 def test_media_roundtrip(spark):

@@ -68,8 +68,16 @@ def test_corrupt_documents_become_error_rows(spark):
 
 
 def test_rebalance_by_size(spark):
-    df = rebalance_by_size(_pages(spark), partitions=4)
-    assert df.count() >= 30
+    src = _pages(spark)
+    df = rebalance_by_size(src, partitions=4)
+    assert df.count() == src.count()  # single pass, nothing dropped/duped
+    # exactly ONE scan of the source in the plan (the old two-filter
+    # union formulation scanned a 100 TB input twice)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("LogicalRDD") + plan.count("Relation")
+    assert n_scans == 1, plan
+    # oversized rows carry their own partition-key range
+    assert "RepartitionByExpression" in plan
 
 
 def test_checkpoint_resume(spark, tmp_path):
@@ -153,11 +161,19 @@ def test_tables_df_format(spark):
     out = extract_pages(_pages(spark))
     fmt = tables_df_format(out)
     rows = fmt.collect()
-    assert rows, "no table line items found"
-    assert {"url", "page_index", "g_index", "row_idx", "item", "cols",
-            "cols_numeric"} <= set(fmt.columns)
-    r = rows[0]
-    assert len(r.cols) == len(r.cols_numeric)
+    assert rows, "no table cells found"
+    # scalar-per-row shape (driver gate canonicalizes via pandas, which
+    # cannot hash array columns — round-1 CORRECTNESS gate error)
+    assert {"url", "page_index", "table_pos", "g_index", "row_idx",
+            "item", "col_idx", "cell_v", "cell_n"} == set(fmt.columns)
+    # every (table, row) has a dense 0..n_cols-1 col_idx range
+    from collections import defaultdict
+    by_row = defaultdict(list)
+    for r in rows:
+        by_row[(r.url, r.page_index, r.table_pos, r.row_idx)].append(
+            r.col_idx)
+    for key, idxs in by_row.items():
+        assert sorted(idxs) == list(range(len(idxs))), key
 
 
 def test_zero_page_document_emits_marker_row(spark):

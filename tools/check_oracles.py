@@ -2,16 +2,23 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir; compares row count, column names, and an
-order-insensitive value hash (columns sorted by name, rows sorted by
-their stringified tuple, floats rounded to 9 significant-ish digits).
+order-insensitive value hash.
+
+Crucially, BOTH sides are fetched **as pandas DataFrames** (Spark
+``toPandas()``, DuckDB ``fetch_df()``) because the driver canonicalizes
+via pandas. This reproduces driver-visible type effects the old
+``fetchall()`` path hid — e.g. DuckDB ``list_sum`` over integers returns
+HUGEINT which lands in pandas as float64, so ``290.0`` vs Spark's
+``290`` is a real driver mismatch (round-1 VERDICT item 1). Ints and
+floats deliberately hash differently here for the same reason.
 
 Usage: python tools/check_oracles.py [sf_dir] [name_filter]
 """
 
 from __future__ import annotations
 
+import decimal
 import hashlib
-import math
 import sys
 
 sys.path.insert(0, ".")
@@ -21,17 +28,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_val(v):
+    import numpy as np
+
     if v is None:
         return "\x00"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "t" if v else "f"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, int):
-        return str(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # driver-green precedent: decimal columns compare equal to the
+        # numerically-equal float on the other engine
+        return repr(float(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "\x00"  # NaN ~ null (pandas collapses them anyway)
+        return repr(f)
+    try:
+        if v != v:  # pandas NaT / NaN-like
+            return "\x00"
+    except Exception:
+        pass
     return str(v)
+
+
+def pandas_rows(pdf, cols):
+    return [[pdf.iloc[i][c] for c in cols] for i in range(len(pdf))]
 
 
 def table_hash(cols, rows):
@@ -70,20 +93,20 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(sdf.columns)
         except Exception as e:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"{name}: rows-only check -> {len(srows)} rows "
-                  f"({'OK' if len(srows) >= 0 else '??'})")
+            print(f"{name}: rows-only check -> {len(spdf)} rows "
+                  f"({'OK' if len(spdf) >= 0 else '??'})")
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = res.fetch_df()
+            dcols = list(dpdf.columns)
         except Exception as e:
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
             failures += 1
@@ -93,21 +116,22 @@ def main():
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} "
                   f"duck={sorted(dcols)}")
             ok = False
-        if len(srows) != len(drows):
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} "
-                  f"duck={len(drows)}")
+        if len(spdf) != len(dpdf):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(spdf)} "
+                  f"duck={len(dpdf)}")
             ok = False
         if ok:
-            hs = table_hash(scols, [[r[c] for c in scols] for r in srows])
+            srows = pandas_rows(spdf, scols)
+            drows = pandas_rows(dpdf, dcols)
+            hs = table_hash(scols, srows)
             hd = table_hash(dcols, drows)
             if hs != hd:
                 print(f"{name}: VALUE HASH MISMATCH ({len(srows)} rows)")
                 order_s = sorted(scols)
-                ss = sorted(tuple(norm_val(r[c]) for c in order_s)
-                            for r in srows)
-                ds = sorted(tuple(norm_val(v) for v in
-                                  (dict(zip(dcols, r))[c] for c in order_s))
-                            for r in drows)
+                ss = sorted(tuple(norm_val(dict(zip(scols, r))[c])
+                                  for c in order_s) for r in srows)
+                ds = sorted(tuple(norm_val(dict(zip(dcols, r))[c])
+                                  for c in order_s) for r in drows)
                 shown = 0
                 for a, b in zip(ss, ds):
                     if a != b:
@@ -117,7 +141,7 @@ def main():
                             break
                 ok = False
         if ok:
-            print(f"{name}: OK ({len(srows)} rows)")
+            print(f"{name}: OK ({len(spdf)} rows)")
         else:
             failures += 1
     spark.stop()

@@ -1,0 +1,130 @@
+"""Pin golden extraction dumps for the driver-gate oracles.
+
+Produces parquet fixtures under ``fixtures/`` by running the ACTUAL
+reference engine (imported via tests/refshim) over the exact corpus the
+Spark queries synthesize at sf0.01:
+
+- ``golden_flagship_sf0.01.parquet`` — per-page reference output in the
+  ``extract_pages_flagship`` shape (url, page_index, extracted_text,
+  n_tables, n_paragraphs, n_elements, error);
+- ``golden_tables_sf0.01.parquet`` — per-CELL reference table output in
+  the (scalar) ``tables_df_format`` shape;
+- ``golden_web_sf0.01.parquet`` — generator-known truth for the HTML
+  main-content extractor (title/main_text/n_kept are derived from the
+  corpus generator, NOT from the extractor — an independent oracle).
+
+These fixtures turn the byte-identity pytest gate into driver-visible
+``hash_match`` green rows: the DuckDB twin is a plain SELECT over the
+fixture, compared against the live Spark extraction.
+
+Usage: python tools/make_goldens.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "fixtures"
+    os.makedirs(out_dir, exist_ok=True)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace("sf", "sf")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refadapter import reference_extract_document
+
+    from parsee_pdf_reader_spark.sources.synth import (
+        build_document,
+        build_html_document,
+    )
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    print(f"{len(docs)} documents from {sf_dir}")
+
+    flag_rows, cell_rows, web_rows = [], [], []
+    for d in docs:
+        doc_id = int(d["doc_id"])
+        key = f"doc{doc_id}"
+        url = f"https://host{doc_id % 97}.example/{key}.pdf"
+        blob, _ = build_document(key, 42, d["text"])
+        err = None
+        try:
+            pages = reference_extract_document(blob)
+        except Exception as e:  # mirror pipeline._doc_to_rows error rows
+            pages, err = [], f"{type(e).__name__}: {e}"
+        if pages:
+            for pg in pages:
+                flag_rows.append({
+                    "url": url, "page_index": pg["page_index"],
+                    "extracted_text": pg["extracted_text"],
+                    "n_tables": len(pg["tables"]),
+                    "n_paragraphs": len(pg["paragraphs"]),
+                    "n_elements": pg["n_elements"], "error": None})
+                for t_pos, t in enumerate(pg["tables"]):
+                    for row_idx, li in enumerate(t["items"]):
+                        for col_idx, cell in enumerate(li["values"]):
+                            cell_rows.append({
+                                "url": url,
+                                "page_index": pg["page_index"],
+                                "table_pos": t_pos,
+                                "g_index": t["g_index"],
+                                "row_idx": row_idx,
+                                "item": li["caption"],
+                                "col_idx": col_idx,
+                                "cell_v": cell["v"],
+                                "cell_n": cell["n"]})
+        else:
+            flag_rows.append({"url": url, "page_index": -1,
+                              "extracted_text": None, "n_tables": None,
+                              "n_paragraphs": None, "n_elements": None,
+                              "error": err or "EmptyDocument: 0 pages"})
+
+        # web golden: truth comes from the GENERATOR (build_html_document
+        # returns the expected main text; title is embedded verbatim)
+        html, golden_main = build_html_document(key, 42, d["text"])
+        m = re.search(rb"<title>(.*?)</title>", html, re.S)
+        title = " ".join(m.group(1).decode("utf-8").split()) if m else ""
+        web_rows.append({
+            "url": f"https://h.example/{doc_id}",
+            "title": title,
+            "main_text": golden_main,
+            "n_kept": len(golden_main.split("\n\n")) if golden_main else 0,
+        })
+
+    flag_schema = pa.schema([
+        ("url", pa.string()), ("page_index", pa.int32()),
+        ("extracted_text", pa.string()), ("n_tables", pa.int32()),
+        ("n_paragraphs", pa.int32()), ("n_elements", pa.int32()),
+        ("error", pa.string())])
+    cell_schema = pa.schema([
+        ("url", pa.string()), ("page_index", pa.int32()),
+        ("table_pos", pa.int32()), ("g_index", pa.int32()),
+        ("row_idx", pa.int32()), ("item", pa.string()),
+        ("col_idx", pa.int32()), ("cell_v", pa.string()),
+        ("cell_n", pa.string())])
+    web_schema = pa.schema([
+        ("url", pa.string()), ("title", pa.string()),
+        ("main_text", pa.string()), ("n_kept", pa.int32())])
+
+    for name, rows, schema in (
+            (f"golden_flagship_{sf_tag}.parquet", flag_rows, flag_schema),
+            (f"golden_tables_{sf_tag}.parquet", cell_rows, cell_schema),
+            (f"golden_web_{sf_tag}.parquet", web_rows, web_schema)):
+        path = os.path.join(out_dir, name)
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path,
+                       compression="zstd")
+        print(f"wrote {path}: {len(rows)} rows")
+
+
+if __name__ == "__main__":
+    main()
