@@ -1586,8 +1586,21 @@ def extract_document(blob: bytes, min_rows: int = 2, min_cols: int = 1,
     y1, prob), ...]} relative layout-model boxes (reference
     ``detected_areas``, extract.py:75-85). ocr_engine: optional
     callable(page, page_index) -> (mediabox, chars) for the OCR repair
-    branch (see sources/ocr.py)."""
-    pages = codec.decode_document(blob)
+    branch (see sources/ocr.py).
+
+    Input dispatch by content magic (upgrading the reference's
+    extension dispatch, converter.py:31-38): PLD1 layout bytes, or raw
+    %PDF bytes via the pure-stdlib decoder (sources/pdf_mini.py —
+    verified against the reference's own fixture PDFs and their
+    integration-test golden counts, tests/test_real_pdf.py)."""
+    if blob[:5] == b"%PDF-":
+        from parsee_pdf_reader_spark.sources.pdf_mini import (
+            parse_pdf_mini,
+        )
+
+        pages = parse_pdf_mini(bytes(blob))
+    else:
+        pages = codec.decode_document(blob)
     out = []
     for i, p in enumerate(pages):
         rel = areas_by_page.get(i) if areas_by_page else None

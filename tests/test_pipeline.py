@@ -176,6 +176,31 @@ def test_tables_df_format(spark):
         assert sorted(idxs) == list(range(len(idxs))), key
 
 
+def test_extract_pages_on_raw_pdf_bytes(spark):
+    """The html column can carry real %PDF bytes: the kernel dispatches
+    to the pure-stdlib decoder (sources/pdf_mini.py) and extracts the
+    reference-fixture golden table through the full Spark stage."""
+    import os
+
+    path = "/root/reference/tests/files/form10k20231230.pdf"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference fixtures unavailable")
+    blob = open(path, "rb").read()
+    df = spark.createDataFrame(
+        [("https://sec.example/form10k.pdf", None, bytearray(blob),
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    rows = extract_pages(df).collect()
+    assert len(rows) == 1
+    assert rows[0].error is None
+    assert len(rows[0].tables) == 1
+    assert rows[0].tables[0].num_cols == 2
+    assert rows[0].tables[0].num_rows == 47
+
+
 def test_zero_page_document_emits_marker_row(spark):
     """Every input url must appear in the output (found by /verify:
     a PLD1 header with n_pages=0 silently vanished)."""
