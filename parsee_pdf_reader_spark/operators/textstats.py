@@ -197,3 +197,52 @@ def q_doc_fingerprint(spark, sf_dir):
     w = Window.partitionBy("fp")
     return base.select(
         "doc_id", "fp", F.count(F.lit(1)).over(w).alias("fp_cluster_size"))
+
+
+@register(
+    "doc_fingerprint_cdc",
+    """
+    select doc_id, fp,
+           count(*) over (partition by fp) as fp_cluster_size
+    from (
+      select doc_id,
+             case when length(text) < 8 then md5(text)
+                  else coalesce(
+                    list_min(list_transform(
+                      list_filter(range(length(text) - 7),
+                        i -> (ascii(substr(text, i + 1, 1)) % 4) = 0),
+                      i -> md5(substr(text, i + 1, 8)))),
+                    md5(text))
+             end as fp
+      from documents) t
+    """,
+)
+def q_doc_fingerprint_cdc(spark, sf_dir):
+    """Content-defined-anchor winnowing: md5 only the 8-char shingles
+    whose FIRST character's code point is ≡0 mod 4 (~1/4 of positions),
+    then take the min — the expensive hash runs 4x less often at
+    100 TB. Unlike a positional stride (every 4th offset), the anchor
+    is a property of the CONTENT, so a local edit leaves every anchored
+    shingle outside the edit window intact and the fingerprint keeps
+    the original's edit-robustness (tests/test_operators.py::
+    test_fingerprint_edit_robustness)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    col = F.col("text")
+    anchored = F.filter(
+        F.sequence(F.lit(0), F.length(col) - 8),
+        lambda i: F.ascii(F.substring(col, i + 1, 1)) % 4 == 0,
+    )
+    fp = F.when(F.length(col) < 8, F.md5(col)).otherwise(
+        F.coalesce(
+            F.array_min(
+                F.transform(anchored,
+                            lambda i: F.md5(F.substring(col, i + 1, 8)))),
+            F.md5(col),
+        )
+    )
+    base = docs.select("doc_id", fp.alias("fp"))
+    w = Window.partitionBy("fp")
+    return base.select(
+        "doc_id", "fp", F.count(F.lit(1)).over(w).alias("fp_cluster_size"))

@@ -117,10 +117,163 @@ _MB = struct.Struct("<4d")
 _RECT = struct.Struct("<4f")
 _CHAR = struct.Struct("<5fBB")
 
+# ---------------------------------------------------------------------------
+# PLD2 — columnar variant of the same page model.
+#
+# PLD1 costs one struct.unpack per char (~19% of kernel wall time at
+# bench scale). PLD2 stores each page's chars as PLANAR blocks (all
+# x0s, then all x1s, ...) so decode is six np.frombuffer slices + one
+# utf-8 blob decode; values are f32 exactly like PLD1 and are widened
+# to float64 via ndarray.tolist(), so the kernel sees BIT-IDENTICAL
+# numbers to a PLD1 roundtrip of the same pages (byte-identity of
+# extraction is codec-independent; asserted in tests/test_codec_v2.py).
+#
+# Layout (little-endian), after b"PLD2" | u16 n_pages, per page:
+#   f64 x0,y0,x1,y1 mediabox
+#   u32 nat_len | utf8 (0xFFFFFFFF = None)
+#   u16 n_boxes | u8 kinds[n_boxes]
+#   f32 rects[4 * n_nontext]          (kind-2 boxes, in box order)
+#   u16 n_lines[n_textish]            (kind-0/1 boxes, in box order)
+#   u32 total_lines | u16 n_chars[total_lines]
+#   u32 n_chars_total
+#   f32 x0s[n] x1s[n] y0s[n] y1s[n] sizes[n]   (planar)
+#   u8 flags[n]
+#   u16 text_lens[n]                  (in CHARACTERS, not bytes)
+#   u32 blob_len | utf8 blob          (all char texts concatenated)
+# ---------------------------------------------------------------------------
+
+MAGIC2 = b"PLD2"
+
+
+def encode_document_v2(pages: List[Page]) -> bytes:
+    import numpy as np
+
+    out = [MAGIC2, _U16.pack(len(pages))]
+    for p in pages:
+        out.append(_MB.pack(*p.mediabox))
+        if p.natural_text is None:
+            out.append(_U32.pack(_NONE_TEXT))
+        else:
+            b = p.natural_text.encode("utf-8")
+            out.append(_U32.pack(len(b)))
+            out.append(b)
+        kinds = bytes(box.kind for box in p.boxes)
+        out.append(_U16.pack(len(p.boxes)))
+        out.append(kinds)
+        rects: List[float] = []
+        n_lines: List[int] = []
+        line_counts: List[int] = []
+        chars: List[Char] = []
+        for box in p.boxes:
+            if box.kind == KIND_NONTEXT:
+                rects.extend(box.rect)
+                continue
+            n_lines.append(len(box.lines))
+            for line in box.lines:
+                line_counts.append(len(line))
+                chars.extend(line)
+        out.append(np.asarray(rects, dtype="<f4").tobytes())
+        out.append(np.asarray(n_lines, dtype="<u2").tobytes())
+        out.append(_U32.pack(len(line_counts)))
+        out.append(np.asarray(line_counts, dtype="<u2").tobytes())
+        n = len(chars)
+        out.append(_U32.pack(n))
+        for attr in ("x0", "x1", "y0", "y1", "size"):
+            out.append(np.asarray(
+                [getattr(c, attr) for c in chars], dtype="<f4").tobytes())
+        out.append(np.asarray([1 if c.bold else 0 for c in chars],
+                              dtype="u1").tobytes())
+        texts = [c.text for c in chars]
+        out.append(np.asarray([len(t) for t in texts],
+                              dtype="<u2").tobytes())
+        blob = "".join(texts).encode("utf-8")
+        out.append(_U32.pack(len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def _decode_document_v2(buf: bytes) -> List[Page]:
+    import numpy as np
+
+    pos = 4
+    (n_pages,) = _U16.unpack_from(buf, pos)
+    pos += 2
+    pages = []
+    for _ in range(n_pages):
+        mediabox = _MB.unpack_from(buf, pos)
+        pos += 32
+        (tlen,) = _U32.unpack_from(buf, pos)
+        pos += 4
+        if tlen == _NONE_TEXT:
+            natural_text: Optional[str] = None
+        else:
+            natural_text = buf[pos:pos + tlen].decode("utf-8")
+            pos += tlen
+        (n_boxes,) = _U16.unpack_from(buf, pos)
+        pos += 2
+        kinds = buf[pos:pos + n_boxes]
+        pos += n_boxes
+        n_nontext = kinds.count(KIND_NONTEXT)
+        rects = np.frombuffer(buf, "<f4", 4 * n_nontext, pos).tolist()
+        pos += 16 * n_nontext
+        n_textish = n_boxes - n_nontext
+        n_lines = np.frombuffer(buf, "<u2", n_textish, pos).tolist()
+        pos += 2 * n_textish
+        (total_lines,) = _U32.unpack_from(buf, pos)
+        pos += 4
+        line_counts = np.frombuffer(buf, "<u2", total_lines, pos).tolist()
+        pos += 2 * total_lines
+        (n,) = _U32.unpack_from(buf, pos)
+        pos += 4
+        cols = []
+        for _c in range(5):
+            cols.append(np.frombuffer(buf, "<f4", n, pos).tolist())
+            pos += 4 * n
+        x0s, x1s, y0s, y1s, sizes = cols
+        flags = np.frombuffer(buf, "u1", n, pos).tolist()
+        pos += n
+        tlens = np.frombuffer(buf, "<u2", n, pos).tolist()
+        pos += 2 * n
+        (blen,) = _U32.unpack_from(buf, pos)
+        pos += 4
+        blob = buf[pos:pos + blen].decode("utf-8")
+        pos += blen
+
+        chars: List[Char] = []
+        off = 0
+        for i in range(n):
+            ln = tlens[i]
+            chars.append(Char(x0s[i], x1s[i], y0s[i], y1s[i], sizes[i],
+                              bool(flags[i]), blob[off:off + ln]))
+            off += ln
+
+        boxes: List[Box] = []
+        ri = 0
+        li = 0
+        ci = 0
+        chi = 0
+        for kind in kinds:
+            if kind == KIND_NONTEXT:
+                boxes.append(Box(kind, rect=tuple(rects[ri:ri + 4])))
+                ri += 4
+                continue
+            lines = []
+            for _l in range(n_lines[li]):
+                cnt = line_counts[ci]
+                ci += 1
+                lines.append(chars[chi:chi + cnt])
+                chi += cnt
+            li += 1
+            boxes.append(Box(kind, lines=lines))
+        pages.append(Page(mediabox, natural_text, boxes))
+    return pages
+
 
 def decode_document(buf: bytes) -> List[Page]:
+    if buf[:4] == MAGIC2:
+        return _decode_document_v2(buf)
     if buf[:4] != MAGIC:
-        raise ValueError("not a PLD1 document")
+        raise ValueError("not a PLD1/PLD2 document")
     pos = 4
     (n_pages,) = _U16.unpack_from(buf, pos)
     pos += 2

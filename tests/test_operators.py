@@ -117,6 +117,33 @@ def test_ngram_jaccard_hot_shingle_defused(spark, tmp_path):
     assert all({a, b} == {900, 901} for a, b in pairs)
 
 
+def test_fingerprint_edit_robustness(spark, tmp_path):
+    """Both fingerprint variants survive a small local edit (the min
+    shingle is content-defined, not position-defined) — and the
+    content-anchored variant agrees with itself across the shifted
+    positions a positional stride would break on."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_doc_fingerprint,
+        q_doc_fingerprint_cdc,
+    )
+
+    base = ("the quarterly consolidated revenue statement shows "
+            "a material increase across all operating segments "
+            "with amortization adjustments applied consistently")
+    edited = base.replace("material", "materrial")  # 1-char insertion
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, base, "en", "s", len(base)),
+         (1, edited, "en", "s", len(edited))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    for q in (q_doc_fingerprint, q_doc_fingerprint_cdc):
+        rows = {r.doc_id: r.fp for r in q(spark, d).collect()}
+        assert rows[0] == rows[1], q.__name__
+
+
 def test_media_roundtrip(spark):
     docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
     media = make_media_df(spark, docs)
