@@ -319,7 +319,7 @@ def build_stress_document(key: str, seed: int = 42) -> bytes:
     landscape = rng.random() < 0.3
     width, height = (792.0, 612.0) if landscape else (612.0, 792.0)
     pb = _PageBuilder(width, height)
-    variant = int(rng.integers(0, 9))
+    variant = int(rng.integers(0, 10))
 
     if variant == 0:  # near-touching numeric columns + text interleave
         col_rights = [300.0, 345.0, 392.0, 436.0]
@@ -380,14 +380,68 @@ def build_stress_document(key: str, seed: int = 42) -> bytes:
                  n_rows=int(rng.integers(4, 8)))
         pb.advance(30.0)
         pb.paragraph(_LEXICON[:20], half + 20.0, width / 2 - 70.0)
-    else:  # table jammed against page edges (top + bottom margins ~0)
+    elif variant == 8:  # table jammed against page edges (margins ~0)
         pb.y = height - 12.0
         pb.table(rng, 2.0, [width * 0.6, width * 0.75, width - 4.0],
                  n_rows=int(rng.integers(3, 7)))
         pb.y = 14.0 * 4
         pb.table(rng, 2.0, [width * 0.6, width - 4.0], n_rows=3,
                  header=False)
+    else:  # T4 table split: a >200pt line-item gap INSIDE one group.
+        # The numeric column keeps its run unbroken across the gap
+        # because the middle rows are horizontally offset text (no
+        # collision with the column, pdf_page.py:486-509), so the
+        # blank-line breaker (G9) never fires — the split must come
+        # from _split_table_if_needed (pdf_page.py:844-862).
+        top = height - 52.0
+        right = width - 112.0
+        n_fill = int(rng.integers(15, 19))
+        row = 0
 
+        def _line(text, x, y):
+            chars = _line_chars(text, x, y, 10.0)
+            pb.boxes.append(Box(KIND_TEXTBOX, lines=[chars]))
+            pb.nat_lines.append(text)
+
+        for i in range(3):
+            y = top - 14.0 * row
+            _line(f"alpha item{i}", 45.0, y)
+            num = _format_number(rng)
+            _line(num, right - _text_width(num, 10.0), y)
+            row += 1
+        for _ in range(n_fill):
+            _line("filler words here between sections", 45.0,
+                  top - 14.0 * row)
+            row += 1
+        for i in range(3):
+            y = top - 14.0 * row
+            _line(f"omega item{i}", 45.0, y)
+            num = _format_number(rng)
+            _line(num, right - _text_width(num, 10.0), y)
+            row += 1
+
+    return encode_document([pb.to_page()])
+
+
+def build_chaos_document(key: str, seed: int = 42) -> bytes:
+    """Fully randomized token scatter — no layout structure at all.
+    Exercises arbitrary interleavings of the clustering/grouping/raise
+    paths; any (result OR exception) divergence from the reference is a
+    kernel bug."""
+    rng = _rng_for("chaos:" + key, seed)
+    pb = _PageBuilder(612.0, 792.0)
+    n = int(rng.integers(20, 90))
+    for _ in range(n):
+        x = float(rng.uniform(2, 560))
+        y = float(rng.uniform(30, 760))
+        if rng.random() < 0.55:
+            t = _format_number(rng)
+        else:
+            t = str(rng.choice(_LEXICON))
+        chars = _line_chars(t, x, y,
+                            float(rng.choice([8.0, 10.0, 10.0, 12.0])))
+        pb.boxes.append(Box(KIND_TEXTBOX, lines=[chars]))
+        pb.nat_lines.append(t)
     return encode_document([pb.to_page()])
 
 

@@ -128,6 +128,65 @@ def test_kernel_matches_reference_stress_layouts(reference):
         _compare_doc(key, blob, reference)
 
 
+def test_t4_table_split_fires_and_matches_reference(reference):
+    """A >200pt line-item gap inside ONE table group (offset middle
+    text keeps the numeric run unbroken, so only T4 can split it) —
+    asserts the split path actually executes, not just that outputs
+    agree."""
+    from parsee_pdf_reader_spark.kernel import engine
+    from parsee_pdf_reader_spark.sources.synth import build_stress_document
+
+    orig = engine._split_table_if_needed
+    split_counts = []
+
+    def spy(t):
+        r = orig(t)
+        if len(r) > 1:
+            split_counts.append(len(r))
+        return r
+
+    engine._split_table_if_needed = spy
+    try:
+        fired = 0
+        for i in range(40):
+            key = f"t4v{i}"
+            blob = build_stress_document(key, 42)
+            before = len(split_counts)
+            _compare_doc(key, blob, reference)
+            if len(split_counts) > before:
+                fired += 1
+    finally:
+        engine._split_table_if_needed = orig
+    assert fired >= 2, f"T4 split never fired ({split_counts})"
+
+
+def test_kernel_matches_reference_chaos_scatter(reference):
+    """Fully random token scatter (no layout structure): result OR
+    exception must match the reference on every document."""
+    from parsee_pdf_reader_spark.kernel.engine import extract_document
+    from parsee_pdf_reader_spark.sources.synth import build_chaos_document
+    from refadapter import reference_extract_document
+
+    for i in range(60):
+        blob = build_chaos_document(f"c{i}", 42)
+        try:
+            mine, my_err = extract_document(blob), None
+        except Exception as e:
+            mine, my_err = None, type(e).__name__
+        try:
+            ref, ref_err = reference_extract_document(blob), None
+        except Exception as e:
+            ref, ref_err = None, type(e).__name__
+        assert (my_err is None) == (ref_err is None), \
+            f"c{i}: kernel={my_err} reference={ref_err}"
+        if mine is not None:
+            assert mine[0]["extracted_text"] == ref[0]["extracted_text"]
+            assert [(t["num_cols"], t["num_rows"])
+                    for t in mine[0]["tables"]] == \
+                   [(t["num_cols"], t["num_rows"])
+                    for t in ref[0]["tables"]], f"c{i}"
+
+
 def test_golden_table_shapes(reference):
     """Reference-style golden-count assertions (integration_tests.py:4-47
     model): pinned table shapes for three fixture documents. These pin

@@ -112,6 +112,28 @@ def test_checkpoint_resume(spark, tmp_path):
           .collect()}
     for part, dig in d2.items():
         assert d1[part] == dig
+    # rows_in comes from observe() on the extraction's own scan — one
+    # input pass; it must equal the true input count
+    assert all(r.rows_in == 20 for r in rows)
+
+
+def test_checkpoint_corrupt_ledger_propagates(spark, tmp_path):
+    """A missing ledger means fresh run; a CORRUPT ledger must raise,
+    not silently reprocess everything (ADVICE round 1)."""
+    import pytest
+
+    from parsee_pdf_reader_spark.checkpoint import CheckpointedExtraction
+
+    inp = os.path.join(str(tmp_path), "pages")
+    outp = os.path.join(str(tmp_path), "extracted")
+    _pages(spark, 3).write.parquet(inp)
+    ck = CheckpointedExtraction(spark, inp, outp, run_id="t1")
+    assert ck.completed_partitions() == []  # missing -> fresh run
+    os.makedirs(ck.progress_path, exist_ok=True)
+    with open(os.path.join(ck.progress_path, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        ck.completed_partitions()
 
 
 def test_extract_pages_with_areas_column(spark, reference):
