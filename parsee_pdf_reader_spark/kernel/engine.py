@@ -104,6 +104,103 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
                     int(a_y1 * mult), a_text, a_bold)
             )
 
+    def fast_line(lt, lx0, lx1, ly0, ly1, lb):
+        """Drift-free line tokenization over COLUMN slices: no break
+        bookkeeping, no per-char objects. Semantics identical to the
+        slow path when no harsh break can fire (see caller's guard)."""
+        parts: List[str] = []
+        f_x0 = f_x1 = f_y0 = f_y1 = None
+        f_bold = False
+        for k, t in enumerate(lt):
+            if t not in _FLUSH_CHARS:
+                x0 = lx0[k]
+                x1 = lx1[k]
+                if f_x0 is None or f_x0 > x0:
+                    f_x0 = x0
+                if f_x1 is None or f_x1 < x1:
+                    f_x1 = x1
+                if f_y0 is None:
+                    f_y0 = ly0[k]
+                    f_y1 = ly1[k]
+                parts.append(t)
+                if lb[k]:
+                    f_bold = True
+            else:
+                if t == ")":
+                    parts.append(")")
+                    f_x1 = lx1[k]
+                if parts and f_x0 is not None and f_x1 is not None:
+                    toks.append(Tok(
+                        int(f_x0 * mult), int(f_x1 * mult),
+                        int(f_y0 * mult), int(f_y1 * mult),
+                        "".join(parts), f_bold))
+                f_bold = False
+                parts = []
+                f_x0 = f_x1 = f_y0 = f_y1 = None
+        if parts and f_x0 is not None and f_x1 is not None:
+            toks.append(Tok(
+                int(f_x0 * mult), int(f_x1 * mult), int(f_y0 * mult),
+                int(f_y1 * mult), "".join(parts), f_bold))
+
+    def slow_line(line):
+        """The exact reference per-line loop (pdf_page.py:135-207):
+        fresh accumulator per line, harsh breaks vs the first char of
+        the current segment, ')'-append quirk."""
+        s_text = ""
+        s_x0 = s_x1 = s_y0 = s_y1 = None
+        s_bold = False
+        r_y0 = r_y1 = r_sz = None
+        sbrk = False
+        last_ci = len(line) - 1
+        for ci, c in enumerate(line):
+            t = c.text
+            if t not in _FLUSH_CHARS:
+                if r_y0 is None:
+                    r_y0, r_y1, r_sz = c.y0, c.y1, c.size
+                elif (abs(r_y0 - c.y0) > 1 or abs(r_y1 - c.y1) > 1
+                      or abs(r_sz - c.size) > 3):
+                    sbrk = True
+                if not sbrk:
+                    if s_x0 is None or s_x0 > c.x0:
+                        s_x0 = c.x0
+                    if s_x1 is None or s_x1 < c.x1:
+                        s_x1 = c.x1
+                    if s_y0 is None:
+                        s_y0 = c.y0
+                    if s_y1 is None:
+                        s_y1 = c.y1
+                    s_text += t
+                    if c.bold:
+                        s_bold = True
+            if t in _FLUSH_CHARS or sbrk:
+                if t == ")":
+                    s_text += ")"
+                    s_x1 = c.x1
+                if s_text != "" and s_x0 is not None and s_x1 is not None:
+                    toks.append(Tok(
+                        int(s_x0 * mult), int(s_x1 * mult),
+                        int(s_y0 * mult), int(s_y1 * mult),
+                        s_text, s_bold))
+                s_bold = False
+                if not sbrk:
+                    s_text = ""
+                    s_x0 = s_x1 = s_y0 = s_y1 = None
+                else:
+                    s_text = t
+                    s_x0, s_x1, s_y0, s_y1 = c.x0, c.x1, c.y0, c.y1
+                    if c.bold:
+                        s_bold = True
+                r_y0 = r_y1 = r_sz = None
+                sbrk = False
+            if ci == last_ci and s_text != "" and s_x0 is not None \
+                    and s_x1 is not None:
+                toks.append(Tok(
+                    int(s_x0 * mult), int(s_x1 * mult),
+                    int(s_y0 * mult), int(s_y1 * mult),
+                    s_text, s_bold))
+                s_text = ""
+                s_x0 = s_x1 = s_y0 = s_y1 = None
+
     # per-item (x1, y1) of the preceding stream element, for the
     # raw-char path's distance breaks
     bounds = []
@@ -112,6 +209,14 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
             xs = [c.x1 for ln in item[1] for c in ln]
             ys = [c.y1 for ln in item[1] for c in ln]
             bounds.append((max(xs, default=0), max(ys, default=0)))
+        elif item[0] == "boxcols":
+            b = item[1]
+            _t, _x0, bx1, _y0, by1, _s, _f = b.cols
+            bounds.append((
+                max((max(bx1[s:e]) for s, e in b.spans if e > s),
+                    default=0),
+                max((max(by1[s:e]) for s, e in b.spans if e > s),
+                    default=0)))
         elif item[0] == "char":
             bounds.append((item[1].x1, item[1].y1))
         else:
@@ -121,58 +226,50 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
     n_items = len(stream)
     for idx, item in enumerate(stream):
         kind = item[0]
-        if kind == "box":
-            for line in item[1]:
-                if not "".join(c.text for c in line).strip():
+        if kind == "boxcols":
+            box = item[1]
+            texts, bx0, bx1, by0, by1, bsz, bfl = box.cols
+            for s, e in box.spans:
+                lt = texts[s:e]
+                if not "".join(lt).strip():
                     continue
-                # fresh accumulator per non-empty line (pdf_page.py:135-145)
-                a_text = ""
-                a_x0 = a_x1 = a_y0 = a_y1 = None
-                a_bold = False
-                r_y0 = r_y1 = r_sz = None
-                brk = False
-                last_ci = len(line) - 1
-                for ci, c in enumerate(line):
-                    t = c.text
-                    if t not in _FLUSH_CHARS:
-                        if r_y0 is None:
-                            r_y0, r_y1, r_sz = c.y0, c.y1, c.size
-                        elif (abs(r_y0 - c.y0) > 1 or abs(r_y1 - c.y1) > 1
-                              or abs(r_sz - c.size) > 3):
-                            brk = True
-                        if not brk:
-                            if a_x0 is None or a_x0 > c.x0:
-                                a_x0 = c.x0
-                            if a_x1 is None or a_x1 < c.x1:
-                                a_x1 = c.x1
-                            if a_y0 is None:
-                                a_y0 = c.y0
-                            if a_y1 is None:
-                                a_y1 = c.y1
-                            a_text += t
-                            if c.bold:
-                                a_bold = True
-                    if t in _FLUSH_CHARS or brk:
-                        if t == ")":
-                            a_text += ")"
-                            a_x1 = c.x1
-                        emit()
-                        a_bold = False
-                        if not brk:
-                            a_text = ""
-                            a_x0 = a_x1 = a_y0 = a_y1 = None
-                        else:
-                            a_text = t
-                            a_x0, a_x1, a_y0, a_y1 = c.x0, c.x1, c.y0, c.y1
-                            if c.bold:
-                                a_bold = True
-                        r_y0 = r_y1 = r_sz = None
-                        brk = False
-                    if ci == last_ci and a_text != "" and a_x0 is not None \
-                            and a_x1 is not None:
-                        emit()
-                        a_text = ""
-                        a_x0 = a_x1 = a_y0 = a_y1 = None
+                ly0 = by0[s:e]
+                if max(ly0) - min(ly0) <= 1:
+                    ly1 = by1[s:e]
+                    lsz = bsz[s:e]
+                    if (max(ly1) - min(ly1) <= 1
+                            and max(lsz) - min(lsz) <= 3):
+                        fast_line(lt, bx0[s:e], bx1[s:e], ly0, ly1,
+                                  bfl[s:e])
+                        continue
+                # drift in the line: materialize chars, slow path
+                line = [codec.Char(bx0[i], bx1[i], by0[i], by1[i],
+                                   bsz[i], bool(bfl[i]), texts[i])
+                        for i in range(s, e)]
+                slow_line(line)
+            continue
+        if kind == "box":
+            # FAST PATH guard: when the whole line is drift-free (y0/y1
+            # spread <= 1, size spread <= 3 — strictly tighter than the
+            # per-segment harsh-break test, so no break can fire),
+            # token boundaries depend only on flush chars. Quirk lines
+            # (size_drift/y_drift) take slow_line; the fuzz/identity
+            # suite pins both.
+            for line in item[1]:
+                lt = [c.text for c in line]
+                if not "".join(lt).strip():
+                    continue
+                ly0 = [c.y0 for c in line]
+                if max(ly0) - min(ly0) <= 1:
+                    ly1 = [c.y1 for c in line]
+                    lsz = [c.size for c in line]
+                    if (max(ly1) - min(ly1) <= 1
+                            and max(lsz) - min(lsz) <= 3):
+                        fast_line(lt, [c.x0 for c in line],
+                                  [c.x1 for c in line], ly0, ly1,
+                                  [c.bold for c in line])
+                        continue
+                slow_line(line)
         elif kind == "char":
             c = item[1]
             t = c.text
@@ -1439,7 +1536,10 @@ def _page_stream(page: codec.Page) -> List[tuple]:
     stream: List[tuple] = []
     for box in page.boxes:
         if box.kind == codec.KIND_TEXTBOX:
-            stream.append(("box", box.lines))
+            if isinstance(box, codec.ColumnarBox):
+                stream.append(("boxcols", box))
+            else:
+                stream.append(("box", box.lines))
         elif box.kind == codec.KIND_CHARS:
             for chars in box.lines:
                 stream.extend(("char", c) for c in chars)
@@ -1479,6 +1579,15 @@ def needs_ocr(page: codec.Page) -> bool:
         return True
     for box in page.boxes:
         if box.kind == codec.KIND_TEXTBOX:
+            if isinstance(box, codec.ColumnarBox):
+                # a "(cid:" glyph implies a non-whitespace line, so the
+                # non-empty-line guard is subsumed by the prefix test
+                texts = box.cols[0]
+                for s, e in box.spans:
+                    for i in range(s, e):
+                        if texts[i].startswith("(cid:"):
+                            return True
+                continue
             for line in box.lines:
                 if "".join(c.text for c in line).strip():
                     for c in line:

@@ -174,6 +174,7 @@ def sniff_kind_col():
                                        "utf-8")))
     return (
         F.when(head4 == "504C4431", "layout")        # b"PLD1"
+        .when(head4 == "504C4432", "layout")         # b"PLD2"
         .when(head4 == "25504446", "pdf")            # b"%PDF"
         .when(head_txt.startswith("<!doctype")
               | head_txt.startswith("<html")

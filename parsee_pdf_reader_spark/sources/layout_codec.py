@@ -80,6 +80,36 @@ class Page:
         self.boxes = boxes
 
 
+class ColumnarBox(Box):
+    """A Box whose chars live in page-level COLUMN lists (PLD2 decode):
+    ``cols`` = (texts, x0s, x1s, y0s, y1s, sizes, bolds) shared across
+    the page, ``spans`` = [(start, end)] one per line. The kernel's
+    tokenizer consumes the columns directly (no per-char objects on the
+    hot path); ``.lines`` materializes Char objects lazily for the
+    consumers that need them (raw-char path, OCR, the reference shim,
+    re-encoding)."""
+
+    __slots__ = ("cols", "spans", "_lines")
+
+    def __init__(self, kind, cols, spans):
+        self.kind = kind
+        self.rect = None
+        self.cols = cols
+        self.spans = spans
+        self._lines = None
+
+    @property
+    def lines(self):  # shadows the parent slot descriptor
+        if self._lines is None:
+            texts, x0s, x1s, y0s, y1s, sizes, bolds = self.cols
+            self._lines = [
+                [Char(x0s[i], x1s[i], y0s[i], y1s[i], sizes[i],
+                      bool(bolds[i]), texts[i]) for i in range(s, e)]
+                for s, e in self.spans
+            ]
+        return self._lines
+
+
 def encode_document(pages: List[Page]) -> bytes:
     out = [MAGIC, struct.pack("<H", len(pages))]
     for p in pages:
@@ -225,28 +255,23 @@ def _decode_document_v2(buf: bytes) -> List[Page]:
         pos += 2 * total_lines
         (n,) = _U32.unpack_from(buf, pos)
         pos += 4
-        cols = []
+        colarrs = []
         for _c in range(5):
-            cols.append(np.frombuffer(buf, "<f4", n, pos).tolist())
+            colarrs.append(np.frombuffer(buf, "<f4", n, pos).tolist())
             pos += 4 * n
-        x0s, x1s, y0s, y1s, sizes = cols
+        x0s, x1s, y0s, y1s, sizes = colarrs
         flags = np.frombuffer(buf, "u1", n, pos).tolist()
         pos += n
-        tlens = np.frombuffer(buf, "<u2", n, pos).tolist()
+        ends = np.frombuffer(buf, "<u2", n, pos).astype("i8").cumsum()
         pos += 2 * n
         (blen,) = _U32.unpack_from(buf, pos)
         pos += 4
         blob = buf[pos:pos + blen].decode("utf-8")
         pos += blen
+        e_list = ends.tolist()
+        texts = [blob[a:b] for a, b in zip([0] + e_list[:-1], e_list)]
 
-        chars: List[Char] = []
-        off = 0
-        for i in range(n):
-            ln = tlens[i]
-            chars.append(Char(x0s[i], x1s[i], y0s[i], y1s[i], sizes[i],
-                              bool(flags[i]), blob[off:off + ln]))
-            off += ln
-
+        page_cols = (texts, x0s, x1s, y0s, y1s, sizes, flags)
         boxes: List[Box] = []
         ri = 0
         li = 0
@@ -257,14 +282,14 @@ def _decode_document_v2(buf: bytes) -> List[Page]:
                 boxes.append(Box(kind, rect=tuple(rects[ri:ri + 4])))
                 ri += 4
                 continue
-            lines = []
+            spans = []
             for _l in range(n_lines[li]):
                 cnt = line_counts[ci]
                 ci += 1
-                lines.append(chars[chi:chi + cnt])
+                spans.append((chi, chi + cnt))
                 chi += cnt
             li += 1
-            boxes.append(Box(kind, lines=lines))
+            boxes.append(ColumnarBox(kind, page_cols, spans))
         pages.append(Page(mediabox, natural_text, boxes))
     return pages
 

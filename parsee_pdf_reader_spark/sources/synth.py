@@ -26,7 +26,10 @@ from parsee_pdf_reader_spark.sources.layout_codec import (
     KIND_CHARS,
     KIND_TEXTBOX,
     Page,
-    encode_document,
+    # PLD2: columnar, numpy-decoded — the corpus format since round 2
+    # (decode feeds the kernel tokenizer column slices with no per-char
+    # objects; PLD1 inputs remain fully supported via magic dispatch)
+    encode_document_v2 as encode_document,
 )
 
 _NARROW = set("iljtf.,:;!|()[]'`")

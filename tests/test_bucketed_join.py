@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
+    import shutil
+
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text", "lang")
@@ -19,6 +21,12 @@ def warehouse(spark, tmp_path_factory):
         "doc_id", F.length("text").alias("n_chars_live"))
     spark.sql("drop table if exists b_docs")
     spark.sql("drop table if exists b_stats")
+    # the in-memory catalog forgets tables between sessions but their
+    # managed locations persist — clear them or saveAsTable fails with
+    # LOCATION_ALREADY_EXISTS on re-runs
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_docs", "b_stats"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (docs.write.mode("overwrite").bucketBy(8, "doc_id")
         .sortBy("doc_id").saveAsTable("b_docs"))
     (stats.write.mode("overwrite").bucketBy(8, "doc_id")
