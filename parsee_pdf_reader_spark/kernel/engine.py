@@ -438,21 +438,33 @@ def grow_cell(cell: Cell, row_toks: List[Tok], exclude_keys: frozenset,
     (pdf_page.py:356-374); membership tests are value-identity
     (key sets — equivalent to the reference's in_list scans)."""
     skip = {t.key() for t in cell.members} | {t.key() for t in handled}
+    cx0 = cell.x0
+    cx1 = cell.x1
     restart = True
     while restart:
         restart = False
         for cand in row_toks:
-            k = cand.key()
-            if k in skip or k in exclude_keys:
-                continue
-            if abs(cand.x0 - cell.x1) <= space_max and cand.x1 > cell.x1:
+            # adjacency first (cheap, usually false), membership only
+            # for adjacent candidates — pure predicates, so the
+            # first-match order is unchanged
+            if abs(cand.x0 - cx1) <= space_max and cand.x1 > cx1:
+                k = cand.key()
+                if k in skip or k in exclude_keys:
+                    continue
                 cell.add(cand)
+                cx0 = cell.x0
+                cx1 = cell.x1
                 handled.append(cand)
                 skip.add(k)
                 restart = True
                 break
-            if abs(cell.x0 - cand.x1) <= space_max and cand.x0 < cell.x0:
+            if abs(cx0 - cand.x1) <= space_max and cand.x0 < cx0:
+                k = cand.key()
+                if k in skip or k in exclude_keys:
+                    continue
                 cell.add(cand)
+                cx0 = cell.x0
+                cx1 = cell.x1
                 handled.append(cand)
                 skip.add(k)
                 restart = True
@@ -467,13 +479,16 @@ def build_cells(rows: List[Dict]):
     for r in rows:
         cells = []
         handled: List = []
+        handled_ids: set = set()
+        exclude_keys: frozenset = frozenset()
         for t in r["toks"]:
-            if any(t is h for h in handled):
+            if id(t) in handled_ids:  # object identity, like `t is h`
                 continue
-            exclude_keys = frozenset(h.key() for h in handled)
             cell = Cell([t])
             handled = grow_cell(cell, r["toks"], exclude_keys, [t],
                                 SPACE_MAX_DISTANCE)
+            handled_ids = {id(h) for h in handled}
+            exclude_keys = frozenset(h.key() for h in handled)
             cells.append(cell)
         r["cells"] = cells
 
