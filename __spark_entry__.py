@@ -92,6 +92,39 @@ def _tables_df_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables_df_format(extract_pages(synthesize_pages_df(spark, docs)))
 
 
+_PIVOT_COLS = 6  # max table width in the sf corpus (col_0..col_5)
+
+
+def _tables_df_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT df_format row shape
+    (custom_dataclasses.py:954-968: ``{"item": caption, "col_k": v}``)
+    as a Spark PIVOT over the per-cell table — one row per line item,
+    one column per value column. Golden-fixture oracle: DuckDB computes
+    the same pivot via conditional aggregation over the pinned
+    reference dump."""
+    from pyspark.sql import functions as F
+
+    from parsee_pdf_reader_spark.pipeline import (
+        extract_pages,
+        tables_df_format,
+    )
+    from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cells = tables_df_format(extract_pages(synthesize_pages_df(spark,
+                                                               docs)))
+    pivoted = (
+        cells.groupBy("url", "page_index", "table_pos", "g_index",
+                      "row_idx", "item")
+        .pivot("col_idx", list(range(_PIVOT_COLS)))
+        .agg(F.first("cell_v"))
+    )
+    renames = [F.col(str(k)).alias(f"col_{k}") for k in
+               range(_PIVOT_COLS)]
+    return pivoted.select("url", "page_index", "table_pos", "g_index",
+                          "row_idx", "item", *renames)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _flagship(spark, "/root/testdata/sf0.001")
@@ -111,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_decode_stub"] = media_decode_query
     out["extract_web_pages"] = _web_flagship
     out["tables_df_format"] = _tables_df_format
+    out["tables_df_pivot"] = _tables_df_pivot
     return out
 
 
@@ -135,6 +169,14 @@ _GOLDEN_ORACLES = {
     "extract_web_pages": f"""
         select url, title, main_text, n_kept
         from '{_FIXDIR}/golden_web_sf0.01.parquet'
+    """,
+    "tables_df_pivot": f"""
+        select url, page_index, table_pos, g_index, row_idx, item,
+               {', '.join(
+                   f"max(case when col_idx = {k} then cell_v end) "
+                   f"as col_{k}" for k in range(6))}
+        from '{_FIXDIR}/golden_tables_sf0.01.parquet'
+        group by url, page_index, table_pos, g_index, row_idx, item
     """,
 }
 
