@@ -135,3 +135,105 @@ def q_asof_join_click_view(spark, sf_dir):
                  - F.unix_micros(F.col("last_view_ts").cast("timestamp")))
                 / 1e6, 0).alias("lag_sec"),
     )
+
+
+@register(
+    "cube_order_revenue",
+    """
+    select coalesce(o_orderpriority, 'ALL') as priority,
+           coalesce(o_orderstatus, 'ALL') as status,
+           cast(grouping(o_orderpriority) as int) * 2
+             + cast(grouping(o_orderstatus) as int) as grp_id,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+               as revenue,
+           count(*) as n_orders
+    from orders
+    group by cube(o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_order_revenue(spark, sf_dir):
+    """Full CUBE with grouping() disambiguation (rollup's sibling in
+    the grouping-sets family; grp_id distinguishes a real NULL value
+    from a superaggregate row). Scale: one exchange, map-side partial
+    aggregation per grouping set."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            (F.grouping("o_orderpriority").cast("int") * 2
+             + F.grouping("o_orderstatus").cast("int")).alias("grp_id"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "grp_id", "revenue", "n_orders",
+        )
+    )
+
+
+@register(
+    "semi_anti_customer_orders",
+    """
+    select c_custkey, c_mktsegment, 'has_urgent' as tag
+    from customer
+    where exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderpriority = '1-URGENT')
+    union all
+    select c_custkey, c_mktsegment, 'no_orders' as tag
+    from customer
+    where not exists (select 1 from orders where o_custkey = c_custkey)
+    """,
+)
+def q_semi_anti_customer_orders(spark, sf_dir):
+    """Explicit LEFT SEMI and LEFT ANTI joins (the de-correlated forms
+    of EXISTS / NOT EXISTS). Scale: both are one-sided — no row
+    multiplication, the build side carries only the join key, and AQE
+    broadcasts it when small."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").alias("c_custkey"))
+    has_urgent = customer.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", "c_mktsegment", F.lit("has_urgent").alias("tag"))
+    no_orders = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey", "left_anti").select(
+        "c_custkey", "c_mktsegment", F.lit("no_orders").alias("tag"))
+    return has_urgent.unionByName(no_orders)
+
+
+@register(
+    "events_trailing_hour_window",
+    """
+    select event_id, user_id,
+           cast(sum(cast(value as decimal(18,6))) over w as double)
+               as sum_1h,
+           count(*) over w as cnt_1h
+    from events
+    window w as (partition by user_id
+                 order by epoch_us(ts)
+                 range between 3600000000 preceding and current row)
+    """,
+)
+def q_events_trailing_hour_window(spark, sf_dir):
+    """A RANGE-framed window (trailing one hour per user, microsecond
+    precision) — the frame family the sessionization queries don't
+    exercise. Decimal-exact sums keep the cross-engine hash stable.
+    Scale: one exchange on user_id shared by both window functions."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(us.cast("long"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+    )
