@@ -250,3 +250,75 @@ def q_ann_lsh_buckets(spark, sf_dir):
     w = Window.partitionBy("bucket")
     return base.select(
         "vec_id", "bucket", F.count(F.lit(1)).over(w).alias("bucket_size"))
+
+
+_NEARDUP_T = 0.35  # exercised (non-vacuous) at the shipped sf dirs
+
+_PAIR_DOT_SQL = ("list_sum(list_transform(range(len(a.embedding)), "
+                 "i -> a.embedding[i+1]::double * c.embedding[i+1]::double))")
+
+
+@register(
+    "ann_near_dup_pairs",
+    f"""
+    with b as (
+      select vec_id, embedding, {_BUCKET_SQL} as bucket,
+             {_NORM_SQL.format(e='embedding')} as nrm
+      from embeddings)
+    select a.vec_id as vec_a, c.vec_id as vec_b,
+           round({_PAIR_DOT_SQL} / (a.nrm * c.nrm), 6) as cos_sim
+    from b a join b c
+      on a.bucket = c.bucket and a.vec_id < c.vec_id
+    where {_PAIR_DOT_SQL} / (a.nrm * c.nrm) >= {_NEARDUP_T}
+    """,
+)
+def q_ann_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, production shape:
+    LSH buckets generate candidates (equi-join on the bucket key —
+    ~n/2^B pairs, never n^2), exact cosine verifies only candidates.
+    The embedding twin of dedup_verify_pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def plane_component(j, i):
+        ch = F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit(":"),
+                           i.cast("string"))), 1, 1)
+        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
+
+    def plane_dot(j):
+        n = F.size("embedding")
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.element_at("embedding", i + 1).cast("double")
+                * plane_component(j, i),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_NPLANES - 1)),
+            lambda j: F.when(plane_dot(j) >= 0, 1).otherwise(0)
+            * F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"),
+                   norm.alias("nrm"))
+    a = b.alias("a")
+    c = b.alias("c")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "c.embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("c.nrm"))
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .where(cos >= _NEARDUP_T)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("c.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cos_sim"))
+    )

@@ -117,6 +117,19 @@ def test_ngram_jaccard_hot_shingle_defused(spark, tmp_path):
     assert all({a, b} == {900, 901} for a, b in pairs)
 
 
+def test_ann_near_dup_pairs_finds_identical_vectors(spark, crafted_dir):
+    from parsee_pdf_reader_spark.operators.similarity import (
+        q_ann_near_dup_pairs,
+    )
+
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim
+             for r in q_ann_near_dup_pairs(spark, crafted_dir).collect()}
+    # identical vectors land in the same LSH bucket and verify at cos=1
+    assert pairs.get((0, 10)) == 1.0
+    # the orthogonal/opposite vectors never pair with the query family
+    assert not any(13 in p or 14 in p for p in pairs)
+
+
 def test_fingerprint_edit_robustness(spark, tmp_path):
     """Both fingerprint variants survive a small local edit (the min
     shingle is content-defined, not position-defined) — and the

@@ -95,6 +95,26 @@ def test_real_pdf_byte_identity_vs_reference(path):
         assert kt == rt, f"tables diverge on page {k['page_index']}"
 
 
+def test_truncated_and_corrupt_pdfs_degrade_cleanly():
+    """A 10^12-row corpus contains truncated and bit-rotted members;
+    the decoder must never hang or crash the kernel — heavy truncation
+    yields 0 pages (the pipeline marks the url as an EmptyDocument
+    error row), partial data yields whatever pages parse."""
+    import random
+
+    data = open(FORM10K, "rb").read()
+    for cut in (10, 100, 1000, 5000, 50000, 150000):
+        rows_or_empty = extract_document(data[:cut])
+        assert isinstance(rows_or_empty, list)
+    rng = random.Random(7)
+    for _ in range(3):
+        b = bytearray(data)
+        for _k in range(200):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        out = extract_document(bytes(b))
+        assert isinstance(out, list)
+
+
 def test_pdf_magic_dispatch():
     """extract_document consumes raw %PDF bytes directly (content
     dispatch, no extension sniffing)."""
