@@ -569,6 +569,19 @@ def find_runs(cols: List[Dict], rows: List[Dict]):
                 filtered.append(t)
         runs: List[Zone] = []
         els = sorted(filtered, key=lambda t: -t.y1)
+        # identity membership (m is ft) as an id-set; cached per cell —
+        # the all-pairs identity scan was the hot spot of this stage
+        filtered_ids = {id(t) for t in filtered}
+        usable_cache: Dict[int, bool] = {}
+
+        def cell_usable(cell):
+            cid = id(cell)
+            u = usable_cache.get(cid)
+            if u is None:
+                u = usable_cache[cid] = not any(
+                    id(m) in filtered_ids for m in cell.members)
+            return u
+
         start_y = None
         count = 0
         run_list: List[Tok] = []
@@ -588,10 +601,8 @@ def find_runs(cols: List[Dict], rows: List[Dict]):
                             gap.y1 + TOLERANCE_GEN >= r["y1"]
                             >= gap.y0 - TOLERANCE_GEN):
                         for cell in r["cells"]:
-                            usable = not any(
-                                any(m is ft for ft in filtered)
-                                for m in cell.members)
-                            if usable and box_collides(gap, cell, 3) and \
+                            if cell_usable(cell) and \
+                                    box_collides(gap, cell, 3) and \
                                     not box_inside(gap, cell, 3):
                                 if count > 2:
                                     ua = Zone(col["x0"], col["x1"],
