@@ -567,3 +567,112 @@ def synthesize_pages_df(spark, docs_df, seed: int = 42,
         # spread generation before the fan-out so executors share it
         cols = cols.repartition(64, "doc_id")
     return cols.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# synthetic REAL-PDF corpus (raw %PDF bytes through sources/pdf_mini.py)
+# ---------------------------------------------------------------------------
+
+_PDF_CHAR_W = 0.5  # missing-width fallback: 500/1000 em (pdf_mini)
+
+
+def _pdf_escape(s: str) -> str:
+    # built-in-Helvetica strings are latin-1-encodable only; the
+    # generator's em-dash negative marker maps to the ASCII hyphen
+    # (is_negative treats both as negative, helper.py:139-146)
+    s = s.replace("—", "-")
+    s = s.encode("latin-1", "replace").decode("latin-1")
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf_document(key: str, seed: int = 42,
+                       text: Optional[str] = None) -> bytes:
+    """A deterministic minimal REAL PDF (classic xref, uncompressed
+    content streams, built-in Helvetica — public PDF 1.4 subset).
+    Geometry mirrors the layout generator's financial-report flavour:
+    wrapped paragraphs + right-aligned numeric tables, with all
+    advances computed at the decoder's missing-width fallback so the
+    synthesized positions are exactly what sources/pdf_mini.py
+    reconstructs. Used to fuzz the real-PDF path beyond the two
+    reference fixture files."""
+    rng = _rng_for("pdf:" + key, seed)
+    words = _doc_words(rng, text)
+    wpos = 0
+
+    def take(n: int) -> List[str]:
+        nonlocal wpos
+        out = [words[(wpos + i) % len(words)] for i in range(n)]
+        wpos += n
+        return out
+
+    n_pages = int(rng.integers(1, 3))
+    width, height = 612.0, 792.0
+    size = 10.0
+    cw = _PDF_CHAR_W * size
+
+    page_ops: List[str] = []
+    for _p in range(n_pages):
+        ops = ["BT", f"/F1 {size:g} Tf"]
+        y = height - 50.0
+        while y > 60.0:
+            if rng.random() < 0.45:  # table block
+                n_rows = int(rng.integers(3, 8))
+                n_cols = int(rng.integers(2, 4))
+                rights = [360.0 + 80.0 * k for k in range(n_cols)]
+                for _r in range(n_rows):
+                    cap = " ".join(take(int(rng.integers(1, 3))))
+                    ops.append(f"1 0 0 1 45 {y:g} Tm")
+                    ops.append(f"({_pdf_escape(cap)}) Tj")
+                    for right in rights:
+                        num = _format_number(rng)
+                        x = right - len(num) * cw
+                        ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+                        ops.append(f"({_pdf_escape(num)}) Tj")
+                    y -= 14.0
+                    if y <= 60.0:
+                        break
+            else:  # paragraph block
+                for line in _wrap(take(int(rng.integers(10, 40))),
+                                  width - 90.0, size):
+                    ops.append(f"1 0 0 1 45 {y:g} Tm")
+                    ops.append(f"({_pdf_escape(line)}) Tj")
+                    y -= 12.0
+                    if y <= 60.0:
+                        break
+            y -= 16.0
+            if rng.random() < 0.2:
+                break
+        ops.append("ET")
+        page_ops.append("\n".join(ops))
+
+    # object graph: 1 catalog, 2 pages-node, 3 font, then per page
+    # (page obj, content obj)
+    objs: List[bytes] = []
+    kids = " ".join(f"{4 + 2 * p} 0 R" for p in range(n_pages))
+    objs.append(b"<</Type/Catalog/Pages 2 0 R>>")
+    objs.append((f"<</Type/Pages/Kids[{kids}]/Count {n_pages}>>"
+                 ).encode())
+    objs.append(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+    for p in range(n_pages):
+        content_num = 5 + 2 * p
+        objs.append((
+            f"<</Type/Page/Parent 2 0 R/MediaBox[0 0 {width:g} "
+            f"{height:g}]/Resources<</Font<</F1 3 0 R>>>>"
+            f"/Contents {content_num} 0 R>>").encode())
+        stream = page_ops[p].encode("latin-1")
+        objs.append((f"<</Length {len(stream)}>>\nstream\n"
+                     ).encode() + stream + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)

@@ -281,6 +281,39 @@ def test_extract_pages_on_raw_pdf_bytes(spark):
     assert rows[0].tables[0].num_rows == 47
 
 
+def test_mixed_corpus_single_pipeline(spark):
+    """A Common-Crawl shard is heterogeneous: PLD2 layout docs, raw
+    %PDF members, and junk flow through ONE extract_pages stage —
+    content dispatch inside the kernel, per-member errors as rows."""
+    import os
+
+    import pandas as pd
+
+    rows = []
+    blob, _ = build_document("doc5", 42)
+    rows.append(("https://a.example/doc5", None, blob, "t", "en"))
+    pdf_path = "/root/reference/tests/files/form10k20231230.pdf"
+    has_pdf = os.path.exists(pdf_path)
+    if has_pdf:
+        rows.append(("https://sec.example/10k.pdf", None,
+                     open(pdf_path, "rb").read(), None, "en"))
+    rows.append(("https://junk.example/x", None, b"\x00\x01garbage",
+                 "t", "en"))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                      "lang"])
+    df = spark.createDataFrame(pdf, "url string, warc_ts timestamp, "
+                                    "html binary, text string, "
+                                    "lang string")
+    out = {r.url: r for r in extract_pages(df).collect()}
+    assert out["https://a.example/doc5"].error is None
+    assert out["https://a.example/doc5"].n_elements > 0
+    if has_pdf:
+        pg = out["https://sec.example/10k.pdf"]
+        assert pg.error is None and pg.tables[0].num_rows == 47
+    junk = out["https://junk.example/x"]
+    assert junk.page_index == -1 and junk.error is not None
+
+
 def test_zero_page_document_emits_marker_row(spark):
     """Every input url must appear in the output (found by /verify:
     a PLD1 header with n_pages=0 silently vanished)."""

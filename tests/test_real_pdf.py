@@ -115,6 +115,31 @@ def test_truncated_and_corrupt_pdfs_degrade_cleanly():
         assert isinstance(out, list)
 
 
+def test_synthetic_pdf_fuzz_identity():
+    """Deterministic synthetic REAL PDFs (synth.build_pdf_document:
+    classic xref, uncompressed streams, built-in Helvetica) widen the
+    %PDF fuzz surface beyond the two fixture files: every document
+    must extract byte-identically kernel-vs-reference, and the corpus
+    must actually contain tables (non-vacuous)."""
+    from parsee_pdf_reader_spark.sources.synth import build_pdf_document
+
+    total_tables = 0
+    for i in range(40):
+        blob = build_pdf_document(f"p{i}", 42)
+        pages = parse_pdf_mini(blob)
+        assert pages, f"p{i}: no pages decoded"
+        enc = codec.encode_document(pages)
+        mine = extract_document(enc)
+        ref = refadapter.reference_extract_document(enc)
+        for k, r in zip(mine, ref):
+            assert k["extracted_text"] == r["extracted_text"], f"p{i}"
+            kt = [(t["num_cols"], t["num_rows"]) for t in k["tables"]]
+            rt = [(t["num_cols"], t["num_rows"]) for t in r["tables"]]
+            assert kt == rt, f"p{i}"
+            total_tables += len(kt)
+    assert total_tables >= 20, total_tables
+
+
 def test_pdf_magic_dispatch():
     """extract_document consumes raw %PDF bytes directly (content
     dispatch, no extension sniffing)."""
