@@ -660,8 +660,16 @@ def build_pdf_document(key: str, seed: int = 42,
             f"{height:g}]/Resources<</Font<</F1 3 0 R>>>>"
             f"/Contents {content_num} 0 R>>").encode())
         stream = page_ops[p].encode("latin-1")
-        objs.append((f"<</Length {len(stream)}>>\nstream\n"
-                     ).encode() + stream + b"\nendstream")
+        if rng.random() < 0.5:  # exercise the FlateDecode path too
+            import zlib
+
+            stream = zlib.compress(stream)
+            objs.append((f"<</Length {len(stream)}"
+                         "/Filter/FlateDecode>>\nstream\n"
+                         ).encode() + stream + b"\nendstream")
+        else:
+            objs.append((f"<</Length {len(stream)}>>\nstream\n"
+                         ).encode() + stream + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
