@@ -295,7 +295,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     before the self-join (one groupBy + join on the shingle key), and
     df=1 shingles are pruned from the join input (they cannot form a
     pair). The pair space is therefore bounded by df-capped shared
-    shingles — ~O(dups), never O(n^2) and never a hot-key k^2 bucket."""
+    shingles — ~O(dups), never O(n^2) and never a hot-key k^2 bucket.
+
+    Production note: ``kept`` feeds three consumers (sizes, both join
+    sides); at 100 TB persist/checkpoint it after the df join so the
+    exploded shingle table is shuffled once, not recomputed per
+    consumer (local plans show the recomputation as extra exchanges —
+    harmless at test scale, material at 10^12 rows)."""
     docs = _t(spark, sf_dir, "documents")
     toks = _toks()
     shingles = F.when(
