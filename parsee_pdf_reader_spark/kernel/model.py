@@ -174,6 +174,17 @@ class Cell:
 
     def refit(self):
         ms = self.members
+        if len(ms) == 1:  # the dominant case: every cell starts [tok]
+            t = ms[0]
+            self.x0 = t.x0
+            self.x1 = t.x1
+            self.y0 = t.y0
+            self.y1 = t.y1
+            self._ordered = [t]
+            self.text = t.text
+            self.bold = t.bold
+            self.row = t.row  # min over one element, even if None
+            return
         self.x0 = min((t.x0 for t in ms), default=None)
         self.x1 = max((t.x1 for t in ms), default=None)
         self.y0 = min((t.y0 for t in ms), default=None)
