@@ -1,0 +1,75 @@
+"""Unit tests for the pure-stdlib PDF decoder's components (the
+end-to-end fixtures are in test_real_pdf.py; these pin the pieces)."""
+
+from parsee_pdf_reader_spark.sources.pdf_mini import (
+    Lexer,
+    Name,
+    Ref,
+    _apply_predictor,
+    _mat_mul,
+    _parse_tounicode,
+    _rc4,
+)
+
+
+def test_lexer_string_escapes():
+    lx = Lexer(rb"(a\(b\)c \n \101 \\ d)")
+    s, kind = lx.next_token()
+    assert kind == "str"
+    assert s == b"a(b)c \n A \\ d"
+
+
+def test_lexer_nested_parens_and_hex():
+    lx = Lexer(b"(outer (inner) tail) <48 65 6C6C6F> <48656>")
+    assert lx.next_token()[0] == b"outer (inner) tail"
+    assert lx.next_token()[0] == b"Hello"  # whitespace ignored
+    assert lx.next_token()[0] == b"\x48\x65\x60"  # odd count pads with 0
+
+
+def test_lexer_objects():
+    lx = Lexer(b"<</A 1/B [2 3.5 /Nm] /C 7 0 R /D#20E true>>")
+    d = lx.parse_object()
+    assert d["A"] == 1
+    assert d["B"] == [2, 3.5, Name("Nm")]
+    assert d["C"] == Ref(7, 0)
+    assert "D E" in d  # #20 hex escape in the name
+    assert d["D E"] is True
+
+
+def test_png_up_predictor():
+    # two rows of 4 bytes, filter type 2 (Up)
+    raw = bytes([2, 1, 2, 3, 4, 2, 1, 1, 1, 1])
+    out = _apply_predictor(raw, {"Predictor": 12, "Columns": 4,
+                                 "Colors": 1, "BitsPerComponent": 8})
+    assert out == bytes([1, 2, 3, 4, 2, 3, 4, 5])
+
+
+def test_png_sub_and_paeth_predictors():
+    raw = bytes([1, 5, 3, 0, 0])  # Sub: cumulative within the row
+    out = _apply_predictor(raw, {"Predictor": 15, "Columns": 4,
+                                 "Colors": 1, "BitsPerComponent": 8})
+    assert out == bytes([5, 8, 8, 8])
+
+
+def test_rc4_known_vector():
+    # RFC 6229: key "Key" over "Plaintext" (classic RC4 test vector)
+    ct = _rc4(b"Key", b"Plaintext")
+    assert ct.hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Key", ct) == b"Plaintext"  # symmetric
+
+
+def test_tounicode_bfchar_and_bfrange():
+    cmap = (b"beginbfchar\n<0041> <0058>\nendbfchar\n"
+            b"beginbfrange\n<0010> <0012> <0061>\n"
+            b"<0020> <0021> [<0039> <005A>]\nendbfrange\n")
+    m = _parse_tounicode(cmap)
+    assert m[0x41] == "X"
+    assert m[0x10] == "a" and m[0x11] == "b" and m[0x12] == "c"
+    assert m[0x20] == "9" and m[0x21] == "Z"
+
+
+def test_matrix_composition():
+    translate = (1, 0, 0, 1, 10, 20)
+    scale = (2, 0, 0, 3, 0, 0)
+    m = _mat_mul(translate, scale)  # translate THEN scale
+    assert m == (2, 0, 0, 3, 20, 60)
