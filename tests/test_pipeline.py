@@ -175,6 +175,33 @@ def test_partition_pruning_on_ds_output(spark, tmp_path):
         "ds = '2025-06-01'").count()
 
 
+def test_checkpoint_prunes_partitioned_input(spark, tmp_path):
+    """ADVICE round 1: the per-partition filter degrades to a full
+    input scan on unpartitioned dirs. When the staged input IS
+    partitioned by the checkpoint key (the documented production
+    layout; Iceberg hidden partitioning in prod), the filter must
+    prune files at the scan."""
+    from parsee_pdf_reader_spark.checkpoint import CheckpointedExtraction
+
+    inp = os.path.join(str(tmp_path), "pages")
+    outp = os.path.join(str(tmp_path), "extracted")
+    (_pages(spark, 12).withColumn("ds", F.to_date("warc_ts"))
+        .write.partitionBy("ds").parquet(inp))
+    ck = CheckpointedExtraction(spark, inp, outp, run_id="t1",
+                                partition_expr="ds")
+    parts = ck.pending_partitions()
+    assert parts  # at least one ds partition
+    src = spark.read.parquet(inp).where(
+        F.expr("ds").cast("string") == parts[0])
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ds" in plan.split("PartitionFilters")[1][:120], plan
+    done = ck.run()
+    assert done == parts
+    out = spark.read.parquet(os.path.join(outp, "part=*"))
+    assert out.select("url").distinct().count() == 12
+
+
 def test_checkpoint_corrupt_ledger_propagates(spark, tmp_path):
     """A missing ledger means fresh run; a CORRUPT ledger must raise,
     not silently reprocess everything (ADVICE round 1)."""
