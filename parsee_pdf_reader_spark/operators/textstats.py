@@ -246,3 +246,48 @@ def q_doc_fingerprint_cdc(spark, sf_dir):
     w = Window.partitionBy("fp")
     return base.select(
         "doc_id", "fp", F.count(F.lit(1)).over(w).alias("fp_cluster_size"))
+
+
+@register(
+    "corpus_length_quantiles",
+    """
+    select lang, max(n) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           max(case when rn = cast(ceil(0.5 * n) as bigint)
+               then n_chars end) as p50_chars,
+           max(case when rn = cast(ceil(0.9 * n) as bigint)
+               then n_chars end) as p90_chars
+    from (
+      select lang, n_chars,
+             row_number() over (partition by lang
+                                order by n_chars, doc_id) as rn,
+             count(*) over (partition by lang) as n
+      from documents) t
+    group by lang
+    """,
+)
+def q_corpus_length_quantiles(spark, sf_dir):
+    """Exact per-language length quantiles via rank positions (the
+    corpus-diagnostics surface for training-budget planning). Built
+    from row_number + a conditional aggregate so BOTH engines compute
+    the identical discrete quantile — interpolating percentile
+    functions differ across engines. Scale: one exchange on lang,
+    shared by the windows and the final group."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    q = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("long"),
+               F.col("n_chars")))
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        q(F.lit(0.5)).alias("p50_chars"),
+        q(F.lit(0.9)).alias("p90_chars"),
+    )
