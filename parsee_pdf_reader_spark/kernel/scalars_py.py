@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import re
 from decimal import Decimal
+from functools import lru_cache
 from typing import List, Optional
 
 _NUM_FILTER = re.compile(r"(\([^0-9 ]*\))|[^0-9A-Za-z/]")
@@ -22,12 +23,17 @@ _NON_NUMERIC = re.compile(r"[^0-9,.]")
 _MATCH_CLEAN = re.compile(r"[^A-Za-z.,\d]")
 
 
+# pure string->bool/int predicates, called repeatedly on the SAME token
+# texts across kernel stages (column detection, run qualification,
+# grid typing) — memoized; token vocabulary per page is small
+@lru_cache(maxsize=65536)
 def is_number_cell(s: Optional[str]) -> bool:
     if s is None:
         return False
     return _NUM_FILTER.sub("", s).isdigit()
 
 
+@lru_cache(maxsize=65536)
 def letter_len(s: str) -> int:
     return len(_NON_LETTER.sub("", s))
 
