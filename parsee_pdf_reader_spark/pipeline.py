@@ -45,7 +45,7 @@ AREAS_DDL = ("array<struct<page int, class_name string, x0 float, "
 
 
 def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols,
-                 areas=None):
+                 areas=None, ocr_engine=None, force_ocr=False):
     from parsee_pdf_reader_spark.kernel.engine import extract_document
 
     base = {"url": url, "warc_ts": warc_ts, "lang": lang}
@@ -58,7 +58,8 @@ def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols,
                  a["prob"]))
     try:
         pages = extract_document(bytes(blob), min_rows, min_cols,
-                                 areas_by_page)
+                                 areas_by_page, ocr_engine=ocr_engine,
+                                 force_ocr=force_ocr)
     except Exception as e:  # corrupt/unsupported member
         return [dict(base, page_index=-1, extracted_text=None,
                      paragraphs=None, tables=None, n_elements=None,
@@ -103,10 +104,17 @@ def _doc_to_rows(url, warc_ts, lang, blob, min_rows, min_cols,
 
 
 def extract_pages(pages_df: DataFrame, min_rows: int = 2, min_cols: int = 1,
-                  use_arrow: bool = True) -> DataFrame:
+                  use_arrow: bool = True, ocr_engine=None,
+                  force_ocr: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang[, areas]) -> one row per
     extracted page. An optional ``areas`` column (AREAS_DDL) carries
     layout-model predictions (figure routing etc.).
+
+    ``ocr_engine``/``force_ocr`` mirror the reference flagship's
+    signature (extract.py:75: ``get_elements_from_pdf(path,
+    detected_areas, force_ocr)``): the engine must be picklable (it
+    ships to executors inside the kernel closure); ``force_ocr`` runs
+    it on every page, otherwise only where ``needs_ocr`` fires.
 
     A shuffle-free Arrow-batched map; the kernel is the only Python
     stage in the plan. ``use_arrow=True`` emits pyarrow RecordBatches
@@ -140,7 +148,8 @@ def extract_pages(pages_df: DataFrame, min_rows: int = 2, min_cols: int = 1,
                         cols["url"], cols["warc_ts"], cols["lang"],
                         cols["html"], areas_col):
                     rows.extend(_doc_to_rows(url, ts, lang, blob,
-                                             min_rows, min_cols, areas))
+                                             min_rows, min_cols, areas,
+                                             ocr_engine, force_ocr))
                 if rows:
                     arrays = [
                         pa.array([r[f.name] for r in rows], type=f.type)
@@ -159,7 +168,8 @@ def extract_pages(pages_df: DataFrame, min_rows: int = 2, min_cols: int = 1,
                     pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"],
                     areas_col):
                 rows.extend(_doc_to_rows(url, ts, lang, blob,
-                                         min_rows, min_cols, areas))
+                                         min_rows, min_cols, areas,
+                                         ocr_engine, force_ocr))
             if rows:
                 yield pd.DataFrame(rows)
 

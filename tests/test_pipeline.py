@@ -308,6 +308,38 @@ def test_extract_pages_on_raw_pdf_bytes(spark):
     assert rows[0].tables[0].num_rows == 47
 
 
+def test_extract_pages_ocr_engine_through_spark(spark):
+    """The OCR repair branch runs INSIDE the distributed stage: a
+    picklable RecordedOcrEngine ships in the kernel closure and
+    replaces an unreadable ((cid:) glyph) page, mirroring the
+    reference flagship's force_ocr/engine parameters."""
+    from parsee_pdf_reader_spark.sources.ocr import RecordedOcrEngine
+    from parsee_pdf_reader_spark.sources.layout_codec import (
+        Box,
+        Char,
+        KIND_TEXTBOX,
+        Page,
+        encode_document_v2,
+    )
+
+    chars = [Char(10 + 30 * i, 35 + 30 * i, 700, 710, 10.0, False,
+                  f"(cid:{i})") for i in range(4)]
+    blob = encode_document_v2([Page(
+        (0, 0, 612, 792), None, [Box(KIND_TEXTBOX, lines=[chars])])])
+    rec = {"conf": [95, 91], "left": [100, 240], "top": [200, 200],
+           "width": [90, 90], "height": [30, 30],
+           "text": ["Rescued", "text"]}
+    engine = RecordedOcrEngine({0: rec}, {0: (1000, 1400)})
+    df = spark.createDataFrame(
+        [("u1", None, bytearray(blob), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    rows = extract_pages(df, ocr_engine=engine).collect()
+    assert len(rows) == 1
+    assert rows[0].ocr_needed is False  # repaired
+    assert "Rescued" in rows[0].extracted_text
+
+
 def test_mixed_corpus_single_pipeline(spark):
     """A Common-Crawl shard is heterogeneous: PLD2 layout docs, raw
     %PDF members, and junk flow through ONE extract_pages stage —
