@@ -216,8 +216,19 @@ def rebalance_by_size(pages_df: DataFrame, partitions: int,
     - normal documents spread over ``partitions`` keys via
       ``xxhash64(url)`` — uniform regardless of host skew;
     - oversized documents (multi-hundred-page tails) get their own
-      ``partitions // 8`` key range so a few giants don't pin the
-      same tasks as the bulk flow.
+      ``partitions // 8`` key range.
+
+    Isolation of giants is PROBABILISTIC, not guaranteed (ADVICE r2):
+    ``repartition(n, key)`` places rows by ``pmod(hash(key), n)``, so a
+    giant-range key value can land in the same physical partition as
+    bulk keys (~63% chance per giant key at n≈keys). What the key split
+    does guarantee is (a) giants are spread over ``giant_slots``
+    distinct key values rather than clumping with their host's bulk
+    pages, and (b) the giant key range is disjoint from the bulk range,
+    so no single partition receives MORE giants than a uniform draw.
+    Strict isolation would need repartitionByRange or a custom
+    partitioner; at 10^12 docs the uniform-draw bound is sufficient —
+    expected giants per task stays O(giants/partitions).
     """
     size = F.octet_length(F.col("html"))
     giant_slots = max(1, partitions // 8)

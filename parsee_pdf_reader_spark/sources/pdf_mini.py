@@ -377,7 +377,13 @@ class MiniPdf:
         self._cache: Dict[int, object] = {}
         self.trailer: dict = {}
         self._enc_key: Optional[bytes] = None
+        # xref-derived truth: num -> ("direct", offset) | ("objstm",
+        # stm_num, member_index); empty when no parseable xref chain.
+        self._xref: Dict[int, tuple] = {}
+        self._xref_direct: set = set()
         self._scan_objects()
+        self._load_xref_chain()
+        self._apply_xref()
         self._load_trailer()
         self._setup_encryption()
         self._expand_object_streams()
@@ -391,6 +397,148 @@ class MiniPdf:
         for m in re.finditer(rb"(?:^|[\r\n\s])(\d{1,7})\s+(\d+)\s+obj\b",
                              self.data):
             self.objects[int(m.group(1))] = (m.start(1), None)
+
+    # -- cross-reference chain (ISO 32000 §7.5) --
+
+    def _load_xref_chain(self):
+        """Follow startxref -> /Prev, newest section first.
+
+        First-seen wins per object number (the live version is the one
+        in the newest section that mentions it — the 'incremental
+        update' rule). Any malformed section is skipped; the brute scan
+        above remains the safety net. Trailer keys are taken
+        newest-first, which fixes Root/Encrypt for incrementally
+        updated files."""
+        m = None
+        for m2 in re.finditer(rb"startxref\s+(\d+)", self.data[-2048:]):
+            m = m2
+        if m is None:
+            return
+        off = int(m.group(1))
+        seen_offsets: set = set()
+        queue = [off]
+        while queue:
+            off = queue.pop(0)
+            if off in seen_offsets or not (0 <= off < len(self.data)):
+                continue
+            seen_offsets.add(off)
+            try:
+                prevs = self._parse_xref_section(off)
+            except Exception:
+                continue
+            queue.extend(prevs)
+
+    def _parse_xref_section(self, off: int) -> List[int]:
+        """One xref section (classic table or /XRef stream) at `off`.
+        Returns follow-up offsets (/Prev, hybrid /XRefStm)."""
+        lex = Lexer(self.data, off)
+        lex._skip_ws()
+        follow: List[int] = []
+        if self.data[lex.pos:lex.pos + 4] == b"xref":
+            lex.pos += 4
+            while True:
+                lex._skip_ws()
+                if self.data[lex.pos:lex.pos + 7] == b"trailer":
+                    lex.pos += 7
+                    d = lex.parse_object()
+                    if isinstance(d, dict):
+                        self._absorb_trailer(d)
+                        # hybrid-reference file: the XRefStm section
+                        # holds entries hidden from classic readers —
+                        # same generation as this table, so parse it
+                        # before /Prev.
+                        if isinstance(d.get("XRefStm"), int):
+                            follow.insert(0, d["XRefStm"])
+                        if isinstance(d.get("Prev"), int):
+                            follow.append(d["Prev"])
+                    break
+                start = lex.next_token()
+                count = lex.next_token()
+                if not isinstance(start, int) or not isinstance(count, int):
+                    break
+                for i in range(min(count, 1 << 22)):
+                    lex._skip_ws()
+                    line = self.data[lex.pos:lex.pos + 20]
+                    em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", line)
+                    if not em:
+                        raise ValueError("bad xref entry")
+                    lex.pos += em.end()
+                    num = start + i
+                    if em.group(3) == b"n" and num not in self._xref:
+                        self._xref[num] = ("direct", int(em.group(1)))
+            return follow
+        # else: cross-reference stream object
+        stm = self._parse_at(off, decrypt=False)
+        if not isinstance(stm, Stream) or stm.dict.get("Type") != "XRef":
+            raise ValueError("not an xref section")
+        self._absorb_trailer(stm.dict)
+        if isinstance(stm.dict.get("Prev"), int):
+            follow.append(stm.dict["Prev"])
+        data = self.stream_data(stm)
+        w = stm.dict.get("W") or []
+        if not (isinstance(w, list) and len(w) >= 3):
+            raise ValueError("bad /W")
+        w = [x if isinstance(x, int) else 0 for x in w[:3]]
+        rowlen = sum(w)
+        if rowlen <= 0:
+            raise ValueError("zero-width xref row")
+        size = stm.dict.get("Size", 0)
+        index = stm.dict.get("Index") or [0, size]
+        pos = 0
+
+        def field(width, default):
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(data[pos:pos + width], "big")
+            pos += width
+            return v
+
+        for j in range(0, len(index) - 1, 2):
+            first, count = index[j], index[j + 1]
+            if not (isinstance(first, int) and isinstance(count, int)):
+                continue
+            for i in range(min(count, 1 << 22)):
+                if pos + rowlen > len(data):
+                    return follow
+                typ = field(w[0], 1)
+                f2 = field(w[1], 0)
+                f3 = field(w[2], 0)
+                _ = f3
+                num = first + i
+                if num in self._xref:
+                    continue
+                if typ == 1:
+                    self._xref[num] = ("direct", f2)
+                elif typ == 2:
+                    self._xref[num] = ("objstm", f2, f3)
+        return follow
+
+    def _absorb_trailer(self, d: dict):
+        for k in ("Root", "Encrypt", "ID", "Info"):
+            if k in d and k not in self.trailer:
+                self.trailer[k] = d[k]
+
+    def _apply_xref(self):
+        """Overlay xref truth on the brute-scan map.
+
+        Direct entries override the scan when the claimed offset really
+        holds `num gen obj` (broken offsets keep the scan result);
+        objstm entries are remembered so _expand_object_streams lets the
+        owning stream's member override any stale direct definition —
+        the ADVICE r2 fix for incrementally-updated PDFs whose newest
+        object versions live in object streams."""
+        self._objstm_owner: Dict[int, Tuple[int, int]] = {}
+        for num, loc in self._xref.items():
+            if loc[0] == "direct":
+                off = loc[1]
+                m = re.match(rb"\s*(\d{1,7})\s+(\d+)\s+obj\b",
+                             self.data[off:off + 32])
+                if m and int(m.group(1)) == num:
+                    self.objects[num] = (off + m.start(1), None)
+                    self._xref_direct.add(num)
+            else:
+                self._objstm_owner[num] = (loc[1], loc[2])
 
     def _load_trailer(self):
         # classic trailers + xref-stream dicts; collect Root/Encrypt/ID
@@ -553,15 +701,41 @@ class MiniPdf:
                         onum, _ = lex.next_token()
                         ooff, _ = lex.next_token()
                         pairs.append((onum, ooff))
-                    for onum, ooff in pairs:
-                        if onum not in self.objects:
-                            # pre-parse members now (no re-decrypt:
-                            # objstm members are never encrypted twice)
-                            mlex = Lexer(data, first + ooff)
-                            self._cache[onum] = mlex.parse_object()
-                            self.objects[onum] = (num, ooff)
+                    stm_off = off
+                    for idx, (onum, ooff) in enumerate(pairs):
+                        if not self._objstm_member_wins(
+                                onum, num, idx, stm_off):
+                            continue
+                        # pre-parse members now (no re-decrypt:
+                        # objstm members are never encrypted twice)
+                        mlex = Lexer(data, first + ooff)
+                        self._cache[onum] = mlex.parse_object()
+                        self.objects[onum] = (num, ooff)
                 except Exception:
                     continue
+
+    def _objstm_member_wins(self, onum: int, stm_num: int, idx: int,
+                            stm_off: int) -> bool:
+        """Does this ObjStm member define the live version of `onum`?
+
+        Priority order: (1) the xref chain names this stream+index as
+        the owner; (2) the xref names a direct object -> keep it;
+        (3) no xref verdict -> 'later definitions win' by file
+        position: a member of a stream that sits later in the file than
+        the scanned direct offset supersedes it (incremental update
+        heuristic, ADVICE r2)."""
+        owner = self._objstm_owner.get(onum)
+        if owner is not None:
+            return owner[0] == stm_num
+        if onum in self._xref_direct:
+            return False
+        cur = self.objects.get(onum)
+        if cur is None:
+            return True
+        cur_off, cur_inner = cur
+        if cur_inner is not None:
+            return False  # already owned by an (earlier-won) objstm
+        return stm_off > cur_off
 
     def _objstm_member(self, stm_num: int, ooff: int):
         stm = self.get(stm_num)
@@ -628,10 +802,21 @@ class MiniPdf:
             return out
         node = self.resolve(root.get("Pages"))
         inherit_keys = ("Resources", "MediaBox", "Rotate", "CropBox")
+        # duplicated or cyclic Kids refs (Kids=[X,X] nested) would
+        # otherwise expand exponentially (ADVICE r2): each referenced
+        # node is walked at most once (global visited set — the same
+        # policy pdfminer applies), and total emitted pages are capped.
+        visited: set = set()
+        _MAX_PAGES = 100_000
 
-        def walk(n, inherited, depth=0):
-            if not isinstance(n, dict) or depth > 64:
+        def walk(n, inherited, depth=0, ref_id=None):
+            if not isinstance(n, dict) or depth > 64 \
+                    or len(out) >= _MAX_PAGES:
                 return
+            if ref_id is not None:
+                if ref_id in visited:
+                    return
+                visited.add(ref_id)
             inh = dict(inherited)
             for k in inherit_keys:
                 if k in n:
@@ -639,7 +824,9 @@ class MiniPdf:
             t = n.get("Type")
             if t == "Pages" or ("Kids" in n and t != "Page"):
                 for kid in self.resolve(n.get("Kids")) or []:
-                    walk(self.resolve(kid), inh, depth + 1)
+                    kid_id = ((kid.num, kid.gen)
+                              if isinstance(kid, Ref) else None)
+                    walk(self.resolve(kid), inh, depth + 1, kid_id)
             elif t == "Page":
                 pg = dict(n)
                 for k in inherit_keys:
@@ -703,9 +890,14 @@ def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
             if cm.group(3) is not None:
                 base = int(cm.group(3), 16)
                 width = len(cm.group(3))
-                for i in range(hi - lo + 1):
-                    out[lo + i] = _hex2str(
-                        (b"%0*X" % (width, base + i)))
+                # clamp: a corrupt/malicious <0000> <FFFFFFFF> range
+                # must not hang the executor (mirrors Font._parse_w's
+                # 65535 cap; ADVICE r2)
+                for i in range(min(hi - lo + 1, 65536)):
+                    h = b"%0*X" % (width, base + i)
+                    if len(h) % 2:  # base+i outgrew the declared width
+                        h = b"0" + h
+                    out[lo + i] = _hex2str(h)
             else:
                 items = re.findall(rb"<([0-9A-Fa-f]+)>", cm.group(4))
                 for i, it in enumerate(items):
