@@ -170,6 +170,11 @@ _GOLDEN_ORACLES = {
         select url, title, main_text, n_kept
         from '{_FIXDIR}/golden_web_sf0.01.parquet'
     """,
+    "media_decode_stub": f"""
+        select doc_id, kind, n_bytes, width, height, channels,
+               n_frames, payload_sha, error
+        from '{_FIXDIR}/golden_media_sf0.01.parquet'
+    """,
     "tables_df_pivot": f"""
         select url, page_index, table_pos, g_index, row_idx, item,
                {', '.join(
@@ -185,9 +190,6 @@ def oracle_sql() -> dict[str, str]:
     import parsee_pdf_reader_spark.operators  # noqa: F401 (registers ops)
     from parsee_pdf_reader_spark.plans.queries import REGISTRY
 
-    # media_decode_stub is intentionally absent: the media decode stage
-    # is not SQL-expressible; its correctness gate is the multimodal
-    # unit-test suite (rows-only at the driver).
     out = {name: sql for name, (_fn, sql) in REGISTRY.items()}
     out.update(_GOLDEN_ORACLES)
     return out

@@ -84,14 +84,58 @@ class CheckpointedExtraction:
     # -- work --
 
     def pending_partitions(self) -> List[str]:
-        parts = [
-            str(r.p)
-            for r in self.spark.read.parquet(self.input_path)
-            .select(F.expr(self.partition_expr).cast("string").alias("p"))
-            .distinct().collect()
-        ]
+        parts = self._partition_values()
         done = set(self.completed_partitions())
         return sorted(p for p in parts if p not in done)
+
+    def _partition_values(self) -> List[str]:
+        """Distinct partition values of the input.
+
+        Fast path (VERDICT r2 item 8): when ``partition_expr`` is a
+        bare column name and the input dir is hive-partitioned on it
+        (``col=value`` subdirs), the values come from the FILE INDEX —
+        a driver-side directory listing, no executor scan of the data
+        at all (the Iceberg equivalent is reading the partitions
+        metadata table). An arbitrary expression falls back to a
+        distinct over the input, column-pruned to the expression's
+        inputs."""
+        import re as _re
+
+        expr = self.partition_expr.strip()
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+            vals = self._hive_partition_values(expr)
+            if vals is not None:
+                return vals
+        return [
+            str(r.p)
+            for r in self.spark.read.parquet(self.input_path)
+            .select(F.expr(expr).cast("string").alias("p"))
+            .distinct().collect()
+        ]
+
+    def _hive_partition_values(self, col: str) -> Optional[List[str]]:
+        """``col=value`` subdir names under input_path via the Hadoop
+        FS API (pure metadata; None when the layout doesn't match)."""
+        from urllib.parse import unquote
+
+        try:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(self.input_path)
+            fs = path.getFileSystem(conf)
+            if not fs.getFileStatus(path).isDirectory():
+                return None
+            vals = []
+            prefix = col + "="
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith(prefix):
+                    v = unquote(name[len(prefix):])
+                    if v != "__HIVE_DEFAULT_PARTITION__":
+                        vals.append(v)
+            return vals or None
+        except Exception:
+            return None
 
     def run(self, max_partitions: Optional[int] = None) -> List[str]:
         """Process pending partitions; returns the list processed."""

@@ -55,6 +55,18 @@ _NORM_SQL = ("sqrt(list_sum(list_transform({e}, "
     """,
 )
 def q_ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k, scatter-gather shape.
+
+    Scale-safe (VERDICT r2 item 5): the scored candidate stream is
+    pre-reduced to <= _NQUERIES * _TOPK rows PER INPUT PARTITION by an
+    Arrow-batched local top-k (``_local_topk`` below, same
+    (cos desc, neighbor_id asc) order as the global window), so the
+    final ``row_number`` window over <= _NQUERIES partitions sorts
+    ~partitions * K rows — not the full n * _NQUERIES candidate set.
+    At 10^12 rows the old formulation funneled every candidate into
+    10 partitions for a full sort; this one ships K rows per task.
+    Values are bit-identical: cos_raw is computed once JVM-side and
+    carried through Arrow unchanged."""
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -74,16 +86,41 @@ def q_ann_cosine_topk(spark, sf_dir):
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("q_norm") * F.col("norm"))
+    scored = joined.select("query_id",
+                           F.col("vec_id").alias("neighbor_id"),
+                           cos.alias("cos_raw"))
+    pre = scored.mapInPandas(
+        _local_topk, schema="query_id bigint, neighbor_id bigint, "
+                            "cos_raw double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
                                                F.asc("neighbor_id"))
     return (
-        joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      cos.alias("cos_raw"))
-        .withColumn("rnk", F.row_number().over(w))
+        pre.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TOPK)
         .select("query_id", "neighbor_id",
                 F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+def _local_topk(batches):
+    """Partition-local exact top-_TOPK per query_id (scatter phase of
+    scatter-gather top-k). Keeping K rows per (partition, query) with
+    the same ordering as the gather window guarantees the global top-K
+    survives the reduction."""
+    import pandas as pd
+
+    frames = []
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["query_id", "cos_raw", "neighbor_id"],
+                              ascending=[True, False, True])
+        frames.append(pdf.groupby("query_id", sort=False).head(_TOPK))
+    if frames:
+        allf = pd.concat(frames)
+        allf = allf.sort_values(["query_id", "cos_raw", "neighbor_id"],
+                                ascending=[True, False, True])
+        yield allf.groupby("query_id", sort=False).head(_TOPK)
 
 
 _NPLANES = 8

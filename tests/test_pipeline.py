@@ -418,3 +418,32 @@ def test_training_corpus_composition(spark):
     by_url = {r.url: r for r in rows}
     assert by_url["https://w.example/0"].is_canonical
     assert not by_url["https://w.example/dup0"].is_canonical
+
+
+def test_checkpoint_discovery_is_metadata_only(spark, tmp_path):
+    """VERDICT r2 item 8: partition discovery over a hive-partitioned
+    staging dir must come from the FILE INDEX (driver-side listing),
+    not a distinct over the full input. The fast path returns the same
+    values the general path would; non-hive layouts fall back."""
+    from parsee_pdf_reader_spark.checkpoint import CheckpointedExtraction
+
+    inp = os.path.join(str(tmp_path), "pages")
+    outp = os.path.join(str(tmp_path), "extracted")
+    (_pages(spark, 12).withColumn("ds", F.to_date("warc_ts"))
+        .write.partitionBy("ds").parquet(inp))
+    ck = CheckpointedExtraction(spark, inp, outp, run_id="t1",
+                                partition_expr="ds")
+    vals = ck._hive_partition_values("ds")
+    assert vals, "hive fast path did not engage"
+    assert sorted(vals) == ck.pending_partitions()
+    # general-path equivalence: same values as a distinct over the data
+    general = {str(r.p) for r in spark.read.parquet(inp)
+               .select(F.expr("ds").cast("string").alias("p"))
+               .distinct().collect()}
+    assert set(vals) == general
+    # unpartitioned layout -> fast path declines, no crash
+    inp2 = os.path.join(str(tmp_path), "flat")
+    _pages(spark, 3).write.parquet(inp2)
+    ck2 = CheckpointedExtraction(spark, inp2, outp, run_id="t1")
+    assert ck2._hive_partition_values("warc_ts") is None
+    assert ck2.pending_partitions()  # expression fallback still works

@@ -11,7 +11,11 @@ Spark queries synthesize at sf0.01:
   the (scalar) ``tables_df_format`` shape;
 - ``golden_web_sf0.01.parquet`` — generator-known truth for the HTML
   main-content extractor (title/main_text/n_kept are derived from the
-  corpus generator, NOT from the extractor — an independent oracle).
+  corpus generator, NOT from the extractor — an independent oracle);
+- ``golden_media_sf0.01.parquet`` — generator-known truth for the
+  media decode stub: every field is RE-DERIVED here from the PIMG1/
+  PAUD1/PVID1 container spec (seed math duplicated on purpose), not
+  read back through ``decode_media``.
 
 These fixtures turn the byte-identity pytest gate into driver-visible
 ``hash_match`` green rows: the DuckDB twin is a plain SELECT over the
@@ -51,7 +55,37 @@ def main():
     ).to_pylist()
     print(f"{len(docs)} documents from {sf_dir}")
 
+    import hashlib
+
+    def media_truth(doc_id: int) -> dict:
+        """Expected decode_media output, derived from the container
+        SPEC (operators/multimodal.py build_media_blob docs), not from
+        the decoder: seed -> dims -> header length -> payload sha."""
+        kind = ["image", "audio", "video"][doc_id % 3]
+        seed = hashlib.blake2b(f"media:{doc_id}".encode(),
+                               digest_size=8).digest()
+        w = 16 + (seed[0] % 64) * 4
+        h = 16 + (seed[1] % 64) * 4
+        ch = 1 + (seed[2] % 3)
+        payload = (seed * ((w * h // 16) + 1))[: w * h // 4]
+        if kind == "image":
+            head_len, width, height, channels, frames = 10, w, h, ch, 1
+        elif kind == "audio":
+            nch = 1 + seed[4] % 2
+            head_len, width, height, channels, frames = \
+                12, w * h, 16, nch, 1
+        else:
+            fr = 1 + seed[3] % 24
+            head_len, width, height, channels, frames = 11, w, h, ch, fr
+        return {"doc_id": doc_id, "kind": kind,
+                "n_bytes": head_len + len(payload),
+                "width": width, "height": height, "channels": channels,
+                "n_frames": frames,
+                "payload_sha": hashlib.sha256(payload).hexdigest(),
+                "error": None}
+
     flag_rows, cell_rows, web_rows = [], [], []
+    media_rows = [media_truth(int(d["doc_id"])) for d in docs]
     for d in docs:
         doc_id = int(d["doc_id"])
         key = f"doc{doc_id}"
@@ -115,11 +149,18 @@ def main():
     web_schema = pa.schema([
         ("url", pa.string()), ("title", pa.string()),
         ("main_text", pa.string()), ("n_kept", pa.int32())])
+    media_schema = pa.schema([
+        ("doc_id", pa.int64()), ("kind", pa.string()),
+        ("n_bytes", pa.int32()), ("width", pa.int32()),
+        ("height", pa.int32()), ("channels", pa.int32()),
+        ("n_frames", pa.int32()), ("payload_sha", pa.string()),
+        ("error", pa.string())])
 
     for name, rows, schema in (
             (f"golden_flagship_{sf_tag}.parquet", flag_rows, flag_schema),
             (f"golden_tables_{sf_tag}.parquet", cell_rows, cell_schema),
-            (f"golden_web_{sf_tag}.parquet", web_rows, web_schema)):
+            (f"golden_web_{sf_tag}.parquet", web_rows, web_schema),
+            (f"golden_media_{sf_tag}.parquet", media_rows, media_schema)):
         path = os.path.join(out_dir, name)
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), path,
                        compression="zstd")
