@@ -26,12 +26,13 @@ PDFs:
   Tm x CTM — the same construction pdfminer's LTChar uses, so the
   downstream kernel sees the geometry it was verified against.
 
-Output is the kernel's native page model (``layout_codec.Page`` with
-one KIND_CHARS box per page): the raw-char tokenizer path the
-reference itself uses for OCR streams (pdf_page.py:209-273). pdfminer's
-LAParams textbox grouping is intentionally NOT reimplemented; any
-resulting divergence from the reference's integration-test counts is
-recorded in COVERAGE.md rather than hidden.
+Output is the kernel's native page model (``layout_codec.Page``). By
+default the positioned chars are run through the pdfminer-equivalent
+LAParams analysis (``layout_group.py``: chars -> lines -> textboxes,
+default LAParams of the pdfminer.six 20221105 the reference pins), so
+real PDFs exercise the reference's PRIMARY tokenizer path
+(pdf_page.py:123-207) — the raw-char OCR-stream path
+(pdf_page.py:209-273) remains available via ``group=False``.
 """
 
 from __future__ import annotations
@@ -1341,10 +1342,24 @@ class TextInterpreter:
 # ---------------------------------------------------------------------------
 
 
-def parse_pdf_mini(pdf_bytes: bytes) -> List[Page]:
-    """PDF bytes -> kernel pages (one KIND_CHARS box per page, chars in
-    content-stream order — the reference's raw-LTChar path). Natural
-    text is None (as in the reference's OCR branch, converter.py:222)."""
+def parse_pdf_mini(pdf_bytes: bytes, group: bool = True) -> List[Page]:
+    """PDF bytes -> kernel pages.
+
+    ``group=True`` (default): chars are analyzed into LTTextBox-shaped
+    KIND_TEXTBOX boxes via the pdfminer-equivalent LAParams pass
+    (``layout_group.analyze_chars``) so real PDFs exercise the
+    reference's PRIMARY tokenizer path (pdf_page.py:123-207) — the same
+    path the reference takes with real pdfminer (converter.py:77
+    ``LAParams()``).
+
+    ``group=False``: one raw KIND_CHARS box per page in content-stream
+    order — the reference's OCR-stream path (pdf_page.py:209-273);
+    kept for A/B tests of the two paths.
+
+    Natural text is None (as in the reference's OCR branch,
+    converter.py:222)."""
+    from parsee_pdf_reader_spark.sources.layout_group import analyze_chars
+
     doc = MiniPdf(pdf_bytes)
     pages_out: List[Page] = []
     for pg in doc.pages():
@@ -1356,6 +1371,9 @@ def parse_pdf_mini(pdf_bytes: bytes) -> List[Page]:
         except Exception:
             pass
         chars = [c for c in interp.chars if c.text and c.text != "\x00"]
-        boxes = [Box(KIND_CHARS, lines=[chars])] if chars else []
+        if group:
+            boxes = analyze_chars(chars, mb)
+        else:
+            boxes = [Box(KIND_CHARS, lines=[chars])] if chars else []
         pages_out.append(Page((mb[0], mb[1], mb[2], mb[3]), None, boxes))
     return pages_out
