@@ -9,12 +9,17 @@ the public PDF 1.x spec (ISO 32000), sufficient for real-world text
 PDFs:
 
 - classic xref tables AND cross-reference streams (/XRef, PNG
-  predictors), object streams (/ObjStm), incremental updates (/Prev),
-  plus a brute-force `N G obj` scan fallback for broken xrefs;
-- FlateDecode (+ /Predictor 2/10..15) via zlib;
-- standard security handler up to R4 with RC4 (V2) crypt filters —
-  empty user password (the ``bayer1.pdf`` case; pure-bytes, unlike the
-  reference's in-place qpdf rewrite, converter.py:41-52);
+  predictors), object streams (/ObjStm), incremental updates (/Prev,
+  hybrid /XRefStm), plus a brute-force `N G obj` scan fallback for
+  broken xrefs;
+- FlateDecode (+ /Predictor 2/10..15) via zlib, LZWDecode (variable
+  9..12-bit codes, EarlyChange, + predictors), RunLengthDecode,
+  ASCIIHexDecode, ASCII85Decode;
+- standard security handler: RC4 (V≤4 /V2 filters), AES-128
+  (V4 /AESV2, per-object key + sAlT) and AES-256 (V5 R5/R6 /AESV3,
+  ISO 32000-2 hardened hash) via a from-scratch FIPS-197 AES — all
+  with empty user password (the ``bayer1.pdf`` case; pure-bytes,
+  unlike the reference's in-place qpdf rewrite, converter.py:41-52);
 - simple fonts (/Widths, /FirstChar, /Differences) and composite
   Type0/CIDFontType2 fonts (Identity-H, /W + /DW widths, /ToUnicode
   bfchar/bfrange CMaps);
@@ -366,6 +371,245 @@ _PAD = bytes([
 
 
 # ---------------------------------------------------------------------------
+# stream codecs: LZW + RunLength (ISO 32000 §7.4.2/§7.4.5)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: 9..12-bit variable codes, clear=256, EOD=257."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    prev: Optional[bytes] = None
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (buf >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                bits = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad LZW start code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("bad LZW code")
+                table.append(prev + entry[:1])
+                # early change: width grows one code early (default),
+                # i.e. when the NEXT assignable code is (1<<bits)-1
+                if len(table) + early_change >= (1 << bits) \
+                        and bits < 12:
+                    bits += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: L<128 copy L+1; L>128 repeat 257-L; 128=EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i:i + length + 1]
+            i += length + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - length)
+                i += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AES (FIPS-197) — pure Python, needed for AESV2 (V4/R4) and V5/R6
+# crypt filters; stdlib has no AES primitive. Tables generated from the
+# GF(2^8) arithmetic, not typed in.
+# ---------------------------------------------------------------------------
+
+
+def _aes_tables():
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= ((x << 1) ^ (0x11B if x & 0x80 else 0)) & 0x1FF
+        x &= 0xFF
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+    sbox = [0] * 256
+    for i in range(256):
+        inv = 0 if i == 0 else exp[255 - log[i]]
+        s = inv
+        v = inv
+        for _ in range(4):
+            s = ((s << 1) | (s >> 7)) & 0xFF
+            v ^= s
+        sbox[i] = v ^ 0x63
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+
+    def gmul(a, b):
+        if a == 0 or b == 0:
+            return 0
+        return exp[log[a] + log[b]]
+
+    return sbox, inv_sbox, gmul
+
+
+_SBOX, _INV_SBOX, _GMUL = _aes_tables()
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
+         0x6C, 0xD8, 0xAB, 0x4D]
+
+
+class _AES:
+    """Block cipher only (both directions); CBC helpers below."""
+
+    def __init__(self, key: bytes):
+        nk = len(key) // 4
+        if nk not in (4, 6, 8):
+            raise ValueError("AES key must be 128/192/256 bits")
+        self.nr = nk + 6
+        w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
+        for i in range(nk, 4 * (self.nr + 1)):
+            t = list(w[i - 1])
+            if i % nk == 0:
+                t = t[1:] + t[:1]
+                t = [_SBOX[b] for b in t]
+                t[0] ^= _RCON[i // nk - 1]
+            elif nk > 6 and i % nk == 4:
+                t = [_SBOX[b] for b in t]
+            w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+        self.rk = [b"".join(bytes(w[4 * r + c]) for c in range(4))
+                   for r in range(self.nr + 1)]
+
+    @staticmethod
+    def _add(state, rk):
+        return bytes(a ^ b for a, b in zip(state, rk))
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        s = self._add(block, self.rk[0])
+        for rnd in range(1, self.nr + 1):
+            s = bytes(_SBOX[b] for b in s)
+            # ShiftRows on column-major state: byte index r + 4c
+            s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
+            if rnd < self.nr:
+                t = bytearray(16)
+                for c in range(4):
+                    col = s[4 * c:4 * c + 4]
+                    t[4 * c + 0] = (_GMUL(col[0], 2) ^ _GMUL(col[1], 3)
+                                    ^ col[2] ^ col[3])
+                    t[4 * c + 1] = (col[0] ^ _GMUL(col[1], 2)
+                                    ^ _GMUL(col[2], 3) ^ col[3])
+                    t[4 * c + 2] = (col[0] ^ col[1] ^ _GMUL(col[2], 2)
+                                    ^ _GMUL(col[3], 3))
+                    t[4 * c + 3] = (_GMUL(col[0], 3) ^ col[1] ^ col[2]
+                                    ^ _GMUL(col[3], 2))
+                s = bytes(t)
+            s = self._add(s, self.rk[rnd])
+        return s
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        s = self._add(block, self.rk[self.nr])
+        for rnd in range(self.nr - 1, -1, -1):
+            # InvShiftRows then InvSubBytes
+            s = bytes(s[(i - 4 * (i % 4)) % 16] for i in range(16))
+            s = bytes(_INV_SBOX[b] for b in s)
+            s = self._add(s, self.rk[rnd])
+            if rnd > 0:
+                t = bytearray(16)
+                for c in range(4):
+                    col = s[4 * c:4 * c + 4]
+                    t[4 * c + 0] = (_GMUL(col[0], 14) ^ _GMUL(col[1], 11)
+                                    ^ _GMUL(col[2], 13) ^ _GMUL(col[3], 9))
+                    t[4 * c + 1] = (_GMUL(col[0], 9) ^ _GMUL(col[1], 14)
+                                    ^ _GMUL(col[2], 11) ^ _GMUL(col[3], 13))
+                    t[4 * c + 2] = (_GMUL(col[0], 13) ^ _GMUL(col[1], 9)
+                                    ^ _GMUL(col[2], 14) ^ _GMUL(col[3], 11))
+                    t[4 * c + 3] = (_GMUL(col[0], 11) ^ _GMUL(col[1], 13)
+                                    ^ _GMUL(col[2], 9) ^ _GMUL(col[3], 14))
+                s = bytes(t)
+        return s
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes,
+                     strip_padding: bool = True) -> bytes:
+    """PDF convention: data = IV(16) + ciphertext; padding per
+    RFC 2898 unless strip_padding is False (the /UE case)."""
+    if len(data) < 16:
+        return b""
+    aes = _AES(key)
+    iv = data[:16]
+    ct = data[16:]
+    ct = ct[: len(ct) - len(ct) % 16]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        blk = ct[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(aes.decrypt_block(blk), prev))
+        prev = blk
+    if strip_padding and out:
+        pad = out[-1]
+        if 1 <= pad <= 16:
+            out = out[:-pad]
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_noiv(key: bytes, data: bytes) -> bytes:
+    """CBC with an all-zero IV and no padding (ISO 32000-2 /UE, /OE)."""
+    return _aes_cbc_decrypt(key, b"\x00" * 16 + data,
+                            strip_padding=False)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """No padding added (callers supply block-aligned input — the R6
+    hardened hash and the test fixture writers)."""
+    aes = _AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = aes.encrypt_block(blk)
+        out += prev
+    return bytes(out)
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6)."""
+    from hashlib import sha256, sha384, sha512
+
+    h = sha256(password + salt + udata).digest()
+    count = 0
+    while True:
+        count += 1
+        k1 = (password + h + udata) * 64
+        e = _aes_cbc_encrypt(h[:16], h[16:32], k1)
+        h = (sha256, sha384, sha512)[sum(e[:16]) % 3](e).digest()
+        if count >= 64 and e[-1] <= count - 32:
+            return h[:32]
+
+
+# ---------------------------------------------------------------------------
 # the document
 # ---------------------------------------------------------------------------
 
@@ -578,15 +822,35 @@ class MiniPdf:
             raise ValueError("unsupported encryption handler")
         v = enc.get("V", 0)
         r = enc.get("R", 2)
+        self._enc_scheme = "rc4"
+        if v == 5 or r >= 5:
+            # ISO 32000-2 AES-256 (R5 plain / R6 hardened hash); empty
+            # user password, like the RC4 path
+            u = enc.get("U") or b""
+            ue = enc.get("UE") or b""
+            if len(u) < 48 or len(ue) < 32:
+                raise ValueError("malformed V5 /U //UE")
+            key_salt = u[40:48]
+            if r == 5:
+                from hashlib import sha256
+
+                intermediate = sha256(b"" + key_salt).digest()
+            else:
+                intermediate = _r6_hash(b"", key_salt)
+            self._enc_key = _aes_cbc_decrypt_noiv(intermediate, ue[:32])
+            self._enc_scheme = "aesv3"
+            self._enc_r = r
+            return
         if r > 4 or v > 4:
             raise ValueError(f"unsupported encryption R={r} V={v}")
         if v == 4:
             cf = self.resolve(enc.get("CF", {}), decrypt=False) or {}
             stdcf = cf.get("StdCF", {})
-            if isinstance(stdcf, dict) and \
-                    stdcf.get("CFM") not in ("V2", None):
-                raise ValueError(
-                    f"unsupported crypt filter {stdcf.get('CFM')}")
+            cfm = stdcf.get("CFM") if isinstance(stdcf, dict) else None
+            if cfm == "AESV2":
+                self._enc_scheme = "aesv2"
+            elif cfm not in ("V2", None):
+                raise ValueError(f"unsupported crypt filter {cfm}")
         length = enc.get("Length", 40) // 8
         o = enc["O"]
         p = enc["P"] & 0xFFFFFFFF
@@ -607,14 +871,23 @@ class MiniPdf:
         self._enc_key = key[:length]
         self._enc_r = r
 
-    def _obj_key(self, num: int, gen: int) -> bytes:
+    def _obj_key(self, num: int, gen: int, aes: bool = False) -> bytes:
         k = self._enc_key + struct.pack("<I", num)[:3] \
             + struct.pack("<I", gen)[:2]
+        if aes:
+            k += b"sAlT"  # ISO 32000 §7.6.2 AESV2 salt
         return md5(k).digest()[:min(len(self._enc_key) + 5, 16)]
 
     def _decrypt(self, data: bytes, num: int, gen: int) -> bytes:
         if self._enc_key is None:
             return data
+        scheme = getattr(self, "_enc_scheme", "rc4")
+        if scheme == "aesv2":
+            return _aes_cbc_decrypt(self._obj_key(num, gen, aes=True),
+                                    data)
+        if scheme == "aesv3":
+            # AES-256: the file key is used directly, no per-object key
+            return _aes_cbc_decrypt(self._enc_key, data)
         return _rc4(self._obj_key(num, gen), data)
 
     # -- object access --
@@ -782,6 +1055,16 @@ class MiniPdf:
                     data = base64.a85decode(body)
                 except Exception:
                     return b""
+            elif f == "LZWDecode" or f == "LZW":
+                prm = {k: self.resolve(v) for k, v in pr.items()}
+                try:
+                    data = _lzw_decode(
+                        data, early_change=prm.get("EarlyChange", 1))
+                except Exception:
+                    return b""
+                data = _apply_predictor(data, prm)
+            elif f == "RunLengthDecode" or f == "RL":
+                data = _rl_decode(data)
             else:
                 # DCTDecode etc: image data, not text — skip
                 return b""

@@ -585,8 +585,81 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode writer (EarlyChange=1). The encoder's entry
+    counter runs one ahead of a decoder's, so it widens codes at 512
+    where decoders widen at 511."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits = 9
+    codes = [(256, 9)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], bits))
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << bits) and bits < 12:
+            bits += 1
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], bits))
+    codes.append((257, bits))
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """PDF RunLengthDecode writer."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] \
+                and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < len(data) and (j - i) < 128 \
+                    and (j + 1 >= len(data) or data[j] != data[j + 1]):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+#: content-stream encodings build_pdf_document can apply; each maps to
+#: (filter name, encoder) — covers every non-image filter pdf_mini
+#: decodes, so the identity fuzz exercises them all.
+PDF_STREAM_FILTERS = {
+    "flate": ("FlateDecode", None),  # zlib, applied inline below
+    "lzw": ("LZWDecode", _lzw_encode),
+    "rl": ("RunLengthDecode", _rl_encode),
+    "ahx": ("ASCIIHexDecode", lambda d: d.hex().encode() + b">"),
+    "a85": ("ASCII85Decode", None),  # base64, applied inline below
+}
+
+
 def build_pdf_document(key: str, seed: int = 42,
-                       text: Optional[str] = None) -> bytes:
+                       text: Optional[str] = None,
+                       stream_filter: Optional[str] = None) -> bytes:
     """A deterministic minimal REAL PDF (classic xref, uncompressed
     content streams, built-in Helvetica — public PDF 1.4 subset).
     Geometry mirrors the layout generator's financial-report flavour:
@@ -660,15 +733,26 @@ def build_pdf_document(key: str, seed: int = 42,
             f"{height:g}]/Resources<</Font<</F1 3 0 R>>>>"
             f"/Contents {content_num} 0 R>>").encode())
         stream = page_ops[p].encode("latin-1")
-        if rng.random() < 0.5:  # exercise the FlateDecode path too
-            import zlib
-
-            stream = zlib.compress(stream)
-            objs.append((f"<</Length {len(stream)}"
-                         "/Filter/FlateDecode>>\nstream\n"
+        filt = stream_filter
+        if filt is None and rng.random() < 0.5:
+            filt = "flate"  # exercise the FlateDecode path too
+        if filt is None:
+            objs.append((f"<</Length {len(stream)}>>\nstream\n"
                          ).encode() + stream + b"\nendstream")
         else:
-            objs.append((f"<</Length {len(stream)}>>\nstream\n"
+            fname, enc = PDF_STREAM_FILTERS[filt]
+            if filt == "flate":
+                import zlib
+
+                stream = zlib.compress(stream)
+            elif filt == "a85":
+                import base64
+
+                stream = base64.a85encode(stream) + b"~>"
+            else:
+                stream = enc(stream)
+            objs.append((f"<</Length {len(stream)}"
+                         f"/Filter/{fname}>>\nstream\n"
                          ).encode() + stream + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n")

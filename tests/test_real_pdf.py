@@ -146,3 +146,36 @@ def test_pdf_magic_dispatch():
     rows = extract_document(open(FORM10K, "rb").read())
     assert len(rows) == 1
     assert rows[0]["tables"][0]["num_rows"] == 47
+
+
+def test_synthetic_pdf_filter_variants_identity():
+    """Every non-image stream filter pdf_mini decodes (Flate, LZW,
+    RunLength, ASCIIHex, ASCII85): synth writes a variant per filter
+    and each must extract byte-identically kernel-vs-reference
+    (VERDICT r2 item 6)."""
+    from parsee_pdf_reader_spark.sources.synth import (
+        PDF_STREAM_FILTERS,
+        build_pdf_document,
+    )
+
+    for filt in PDF_STREAM_FILTERS:
+        content = 0
+        for i in range(4):
+            blob = build_pdf_document(f"f{filt}{i}", 42,
+                                      stream_filter=filt)
+            pages = parse_pdf_mini(blob)
+            assert pages, f"{filt}/{i}: no pages"
+            enc = codec.encode_document(pages)
+            mine = extract_document(enc)
+            ref = refadapter.reference_extract_document(enc)
+            assert len(mine) == len(ref) > 0, f"{filt}/{i}"
+            for k, r in zip(mine, ref):
+                assert k["extracted_text"] == r["extracted_text"], \
+                    f"{filt}/{i}"
+                kt = [(t["num_cols"], t["num_rows"])
+                      for t in k["tables"]]
+                rt = [(t["num_cols"], t["num_rows"])
+                      for t in r["tables"]]
+                assert kt == rt, f"{filt}/{i}"
+                content += len(kt) + len(k["extracted_text"])
+        assert content > 0, f"{filt}: decoded nothing at all"
