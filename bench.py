@@ -56,6 +56,46 @@ def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
     return spark.read.parquet(out_dir).count()
 
 
+PDF_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_PDF_DOCS", "2000"))
+
+
+def build_pdf_corpus(spark, sf_dir: str, out_dir: str) -> int:
+    """Real %PDF corpus slice (VERDICT r2 item 7): deterministic PDFs
+    written by synth.build_pdf_document, so the timed path includes
+    pdf_mini parse + LAParams grouping, not just the PLD codec."""
+    import pandas as pd
+
+    from parsee_pdf_reader_spark.sources.synth import build_pdf_document
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").where(f"doc_id < {PDF_DOCS}"))
+    expected = docs.count()
+    try:
+        n = spark.read.parquet(out_dir).count()
+        if n == expected:
+            return n
+    except Exception:
+        pass
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = build_pdf_document(f"doc{int(doc_id)}", 42, text)
+                rows.append({
+                    "url": f"https://pdf.example/{int(doc_id)}.pdf",
+                    "warc_ts": None, "html": blob, "text": text,
+                    "lang": "en"})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    (docs.repartition(64).mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+     .write.mode("overwrite").parquet(out_dir))
+    return spark.read.parquet(out_dir).count()
+
+
 def time_extraction(spark, corpus_dir: str, subset_mod: int = 0) -> tuple:
     """Returns (wall_sec, n_docs). subset_mod>0 keeps a deterministic
     1/subset_mod hash-slice of the corpus (fast scaling probes)."""
@@ -110,6 +150,16 @@ def main():
     timings["extract_pages"] = round(t_ex, 3)
     docs_per_sec = round(n_docs / t_ex, 2)
 
+    # real-%PDF slice: pdf_mini parse + LAParams grouping + kernel
+    pdf_dir = corpus_dir + "_pdf"
+    t0 = time.time()
+    n_pdf = build_pdf_corpus(spark, SF_DIR, pdf_dir)
+    timings["synthesize_pdf_corpus"] = round(time.time() - t0, 3)
+    os.sync()
+    t_pdf, _ = time_extraction(spark, pdf_dir)
+    timings["extract_pdf_pages"] = round(t_pdf, 3)
+    pdf_docs_per_sec = round(n_pdf / t_pdf, 2)
+
     for name, (fn, _sql) in REGISTRY.items():
         t0 = time.time()
         df = fn(spark, SF_DIR)
@@ -124,6 +174,8 @@ def main():
         "sf": sf,
         "docs": n_docs,
         "docs_per_sec": docs_per_sec,
+        "pdf_docs": n_pdf,
+        "pdf_docs_per_sec": pdf_docs_per_sec,
         "cpus": CPUS,
     }
 
@@ -166,6 +218,7 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_BENCH_KEEP_CORPUS") != "1":
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir + "_pdf", ignore_errors=True)
     print(json.dumps(result))
 
 
