@@ -231,15 +231,42 @@ def group_chars_to_lines(chars: List[Char]) -> List[_Line]:
     out: List[_Line] = []
     obj0: Optional[Char] = None
     line: Optional[_Line] = None
+    # hot loop (~4k chars/page): previous-char geometry cached in
+    # locals, pdfminer's predicate helpers inlined
+    p_x0 = p_x1 = p_y0 = p_y1 = 0.0
     for obj1 in chars:
         if obj0 is not None:
-            halign = (
-                _is_voverlap(obj0, obj1)
-                and min(obj0.y1 - obj0.y0, obj1.y1 - obj1.y0)
-                * LINE_OVERLAP < _voverlap(obj0, obj1)
-                and _hdistance(obj0, obj1)
-                < max(obj0.x1 - obj0.x0, obj1.x1 - obj1.x0) * CHAR_MARGIN
-            )
+            x0 = obj1.x0
+            x1 = obj1.x1
+            y0 = obj1.y0
+            y1 = obj1.y1
+            # is_voverlap + line_overlap + char_margin (inlined)
+            halign = False
+            if y0 <= p_y1 and p_y0 <= y1:
+                ph = p_y1 - p_y0
+                ch = y1 - y0
+                a = p_y0 - y1
+                if a < 0:
+                    a = -a
+                b = p_y1 - y0
+                if b < 0:
+                    b = -b
+                vo = a if a < b else b
+                if (ph if ph < ch else ch) * LINE_OVERLAP < vo:
+                    # hdistance < max(width) * char_margin
+                    if x0 <= p_x1 and p_x0 <= x1:
+                        hd = 0.0
+                    else:
+                        a = p_x0 - x1
+                        if a < 0:
+                            a = -a
+                        b = p_x1 - x0
+                        if b < 0:
+                            b = -b
+                        hd = a if a < b else b
+                    pw = p_x1 - p_x0
+                    cw = x1 - x0
+                    halign = hd < (pw if pw > cw else cw) * CHAR_MARGIN
             # detect_vertical is False by default: no valign branch
             if halign and line is not None:
                 line.add(obj1)
@@ -256,6 +283,10 @@ def group_chars_to_lines(chars: List[Char]) -> List[_Line]:
                     single.add(obj0)
                     out.append(single)
         obj0 = obj1
+        p_x0 = obj1.x0
+        p_x1 = obj1.x1
+        p_y0 = obj1.y0
+        p_y1 = obj1.y1
     if line is None:
         line = _Line()
         if obj0 is not None:

@@ -1485,33 +1485,60 @@ class TextInterpreter:
         tlm = _ID
 
         def show(raw: bytes):
+            # pdfminer LTChar box: (0, descent) .. (adv_text, descent+1)
+            # in text space scaled by fontsize, transformed by
+            # m = S(fsize*th, fsize, rise) · tm · ctm. Within one show
+            # the linear part of m is CONSTANT — each char only
+            # pre-translates tm by (adv, 0), which moves the
+            # translation of R = tm·ctm by adv·(R0, R1) — so the
+            # per-char work is a handful of multiplies, not two 3x3
+            # matrix products (hot path: ~3.7k chars/page).
             nonlocal tm
             if font is None or not isinstance(raw, (bytes, bytearray)):
                 return
+            t0_, t1_, t2_, t3_, t4_, t5_ = tm
+            c0, c1, c2, c3, c4, c5 = ctm
+            r0 = t0_ * c0 + t1_ * c2
+            r1 = t0_ * c1 + t1_ * c3
+            r2 = t2_ * c0 + t3_ * c2
+            r3 = t2_ * c1 + t3_ * c3
+            r4 = t4_ * c0 + t5_ * c2 + c4
+            r5 = t4_ * c1 + t5_ * c3 + c5
+            fs = fsize
+            dsc = font.descent
+            m2 = fs * r2
+            m3 = fs * r3
+            bx0 = m2 * dsc + rise * r2
+            by0 = m3 * dsc + rise * r3
+            bx1 = m2 * (dsc + 1.0) + rise * r2
+            by1 = m3 * (dsc + 1.0) + rise * r3
+            bold = font.bold
+            comp = font.composite
+            total = 0.0
+            append = self.chars.append
             for code, uni, w0 in font.decode(bytes(raw)):
-                adv = (w0 * fsize + tc
-                       + (tw if code == 32 and not font.composite
-                          else 0.0)) * th
-                m = _mat_mul(
-                    (fsize * th, 0.0, 0.0, fsize, 0.0, rise),
-                    _mat_mul(tm, ctm))
-                # pdfminer LTChar box: (0, descent) .. (adv_text, descent+1)
-                # in text space scaled by fontsize, transformed by m
-                dsc = font.descent
-                x0, y0 = _apply(m, 0.0, dsc)
-                x1, y1 = _apply(m, (adv / fsize / th) if fsize else 0.0,
-                                dsc + 1.0)
+                adv = (w0 * fs + tc
+                       + (tw if code == 32 and not comp else 0.0)) * th
+                x0 = bx0 + r4
+                y0 = by0 + r5
+                if fs:
+                    x1 = r0 * adv + bx1 + r4
+                    y1 = r1 * adv + by1 + r5
+                else:
+                    x1 = bx1 + r4
+                    y1 = by1 + r5
                 lo_x, hi_x = (x0, x1) if x0 <= x1 else (x1, x0)
                 lo_y, hi_y = (y0, y1) if y0 <= y1 else (y1, y0)
-                size = hi_y - lo_y
-                if uni and uni not in ("\x00",):
-                    for ch in uni:
-                        self.chars.append(Char(
-                            round(lo_x, 3), round(hi_x, 3),
-                            round(lo_y, 3), round(hi_y, 3),
-                            round(size, 3), font.bold, ch))
-                        break  # multi-char expansions share the box
-                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, adv, 0.0), tm)
+                if uni and uni != "\x00":
+                    append(Char(
+                        round(lo_x, 3), round(hi_x, 3),
+                        round(lo_y, 3), round(hi_y, 3),
+                        round(hi_y - lo_y, 3), bold, uni[0]))
+                r4 += adv * r0
+                r5 += adv * r1
+                total += adv
+            tm = (t0_, t1_, t2_, t3_,
+                  total * t0_ + t4_, total * t1_ + t5_)
 
         while True:
             save = lex.pos
