@@ -30,6 +30,7 @@ Everything here is per-page pure computation on small collections
 from __future__ import annotations
 
 import math
+import re
 from typing import Dict, List, Optional, Tuple
 
 from parsee_pdf_reader_spark.kernel.model import (
@@ -76,6 +77,8 @@ class KernelTableError(Exception):
 # ---------------------------------------------------------------------------
 
 _FLUSH_CHARS = (" ", "\t", ")")
+#: a token on a drift-free line = one run of non-flush chars
+_RUN_RE = re.compile(r"[^ \t)]+")
 
 
 def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
@@ -104,10 +107,41 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
                     int(a_y1 * mult), a_text, a_bold)
             )
 
-    def fast_line(lt, lx0, lx1, ly0, ly1, lb):
+    def fast_line(lt, lx0, lx1, ly0, ly1, lb, text):
         """Drift-free line tokenization over COLUMN slices: no break
         bookkeeping, no per-char objects. Semantics identical to the
-        slow path when no harsh break can fire (see caller's guard)."""
+        slow path when no harsh break can fire (see caller's guard).
+
+        Token boundaries depend only on flush chars here, so the scan
+        is a C-speed regex over the joined line text (already built by
+        the caller's blank-line check): each run of non-flush chars is
+        one token (min/max over the coordinate slices), with the
+        ``)``-append quirk applied when the run's terminator is ``)``
+        (x1 OVERRIDDEN by the paren's, matching pdf_page.py:168-171).
+        A stray ``)`` with no preceding run emits nothing, exactly
+        like the reference's empty-accumulator flush. Falls back to
+        the per-char loop if any cell text is not exactly one char
+        (multi-char expansions)."""
+        n = len(text)
+        if n != len(lt):
+            _fast_line_chars(lt, lx0, lx1, ly0, ly1, lb)
+            return
+        for m in _RUN_RE.finditer(text):
+            i = m.start()
+            j = m.end()
+            seg = m.group()
+            f_x0 = min(lx0[i:j])
+            if j < n and text[j] == ")":
+                seg += ")"
+                f_x1 = lx1[j]
+            else:
+                f_x1 = max(lx1[i:j])
+            toks.append(Tok(
+                int(f_x0 * mult), int(f_x1 * mult),
+                int(ly0[i] * mult), int(ly1[i] * mult),
+                seg, any(lb[i:j])))
+
+    def _fast_line_chars(lt, lx0, lx1, ly0, ly1, lb):
         parts: List[str] = []
         f_x0 = f_x1 = f_y0 = f_y1 = None
         f_bold = False
@@ -231,7 +265,8 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
             texts, bx0, bx1, by0, by1, bsz, bfl = box.cols
             for s, e in box.spans:
                 lt = texts[s:e]
-                if not "".join(lt).strip():
+                joined = "".join(lt)
+                if not joined.strip():
                     continue
                 ly0 = by0[s:e]
                 if max(ly0) - min(ly0) <= 1:
@@ -240,7 +275,7 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
                     if (max(ly1) - min(ly1) <= 1
                             and max(lsz) - min(lsz) <= 3):
                         fast_line(lt, bx0[s:e], bx1[s:e], ly0, ly1,
-                                  bfl[s:e])
+                                  bfl[s:e], joined)
                         continue
                 # drift in the line: materialize chars, slow path
                 line = [codec.Char(bx0[i], bx1[i], by0[i], by1[i],
@@ -257,7 +292,8 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
             # suite pins both.
             for line in item[1]:
                 lt = [c.text for c in line]
-                if not "".join(lt).strip():
+                joined = "".join(lt)
+                if not joined.strip():
                     continue
                 ly0 = [c.y0 for c in line]
                 if max(ly0) - min(ly0) <= 1:
@@ -267,7 +303,7 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
                             and max(lsz) - min(lsz) <= 3):
                         fast_line(lt, [c.x0 for c in line],
                                   [c.x1 for c in line], ly0, ly1,
-                                  [c.bold for c in line])
+                                  [c.bold for c in line], joined)
                         continue
                 slow_line(line)
         elif kind == "char":
@@ -433,21 +469,40 @@ def find_rows(toks: List[Tok]) -> List[Dict]:
 
 
 def grow_cell(cell: Cell, row_toks: List[Tok], exclude_keys: frozenset,
-              handled: List, space_max: int) -> List:
+              handled: List, space_max: int,
+              xs: Optional[tuple] = None) -> List:
     """Bidirectional x-gap fusion with restart-on-add
     (pdf_page.py:356-374); membership tests are value-identity
-    (key sets — equivalent to the reference's in_list scans)."""
+    (key sets — equivalent to the reference's in_list scans).
+
+    ``xs`` = precomputed ``([t.x0...], [t.x1...])`` of row_toks —
+    callers that grow many cells over the same row build it once
+    (coords are read-only during this stage), turning each rescan
+    into list-index reads inside precomputed adjacency windows."""
     skip = {t.key() for t in cell.members} | {t.key() for t in handled}
+    if xs is None:
+        xs0 = [t.x0 for t in row_toks]
+        xs1 = [t.x1 for t in row_toks]
+    else:
+        xs0, xs1 = xs
     cx0 = cell.x0
     cx1 = cell.x1
+    n = len(row_toks)
     restart = True
     while restart:
         restart = False
-        for cand in row_toks:
+        lo1 = cx1 - space_max
+        hi1 = cx1 + space_max
+        lo0 = cx0 - space_max
+        hi0 = cx0 + space_max
+        for i in range(n):
             # adjacency first (cheap, usually false), membership only
             # for adjacent candidates — pure predicates, so the
             # first-match order is unchanged
-            if abs(cand.x0 - cx1) <= space_max and cand.x1 > cx1:
+            x0 = xs0[i]
+            x1 = xs1[i]
+            if lo1 <= x0 <= hi1 and x1 > cx1:
+                cand = row_toks[i]
                 k = cand.key()
                 if k in skip or k in exclude_keys:
                     continue
@@ -458,7 +513,8 @@ def grow_cell(cell: Cell, row_toks: List[Tok], exclude_keys: frozenset,
                 skip.add(k)
                 restart = True
                 break
-            if abs(cx0 - cand.x1) <= space_max and cand.x0 < cx0:
+            if lo0 <= x1 <= hi0 and x0 < cx0:
+                cand = row_toks[i]
                 k = cand.key()
                 if k in skip or k in exclude_keys:
                     continue
@@ -481,12 +537,14 @@ def build_cells(rows: List[Dict]):
         handled: List = []
         handled_ids: set = set()
         exclude_keys: frozenset = frozenset()
-        for t in r["toks"]:
+        toks = r["toks"]
+        xs = ([t.x0 for t in toks], [t.x1 for t in toks])
+        for t in toks:
             if id(t) in handled_ids:  # object identity, like `t is h`
                 continue
             cell = Cell([t])
-            handled = grow_cell(cell, r["toks"], exclude_keys, [t],
-                                SPACE_MAX_DISTANCE)
+            handled = grow_cell(cell, toks, exclude_keys, [t],
+                                SPACE_MAX_DISTANCE, xs)
             handled_ids = {id(h) for h in handled}
             exclude_keys = frozenset(h.key() for h in handled)
             cells.append(cell)
@@ -558,12 +616,18 @@ def find_runs(cols: List[Dict], rows: List[Dict]):
     for col in cols:
         all_col_toks += col["toks"]
     all_col_keys = frozenset(t.key() for t in all_col_toks)
+    row_xs: Dict[int, tuple] = {}
     for col in cols:
         filtered: List[Tok] = []
         for t in col["toks"]:
             cell = Cell([t])
+            xs = row_xs.get(t.row)
+            if xs is None:
+                rt = rows[t.row]["toks"]
+                xs = row_xs[t.row] = ([x.x0 for x in rt],
+                                      [x.x1 for x in rt])
             grow_cell(cell, rows[t.row]["toks"], all_col_keys, [t],
-                      SPACE_MAX_DISTANCE)
+                      SPACE_MAX_DISTANCE, xs)
             if sc.is_number_cell(cell.text) or \
                     len(cell.text) <= TEXT_MAX_NUMBER_COL:
                 filtered.append(t)
@@ -744,18 +808,28 @@ def collect_relevant_areas(cols_cand: List[Dict],
                            toks: List[Tok]) -> List[Zone]:
     pool = [t.copy() for t in toks]
     relevant = []
+    is_number_cell = sc.is_number_cell
+    letter_len = sc.letter_len
     for col in cols_cand:
         for run in col["runs"]:
             must_keys = {t.key() for t in run.members}
             run.members = []
             nn = nt = 0
+            # run's DECLARED box is immutable during the scan (put()
+            # expands only the element-fitted box), so box_inside
+            # hoists to four precomputed edges
+            rx0 = run.x0 - 5
+            rx1 = run.x1 + 5
+            ry0 = run.y0 - 5
+            ry1 = run.y1 + 5
             for i in range(len(pool) - 1, -1, -1):
                 el = pool[i]
-                if box_inside(run, el, 5) or el.key() in must_keys:
+                if (el.x0 >= rx0 and el.x1 <= rx1 and el.y0 >= ry0
+                        and el.y1 <= ry1) or el.key() in must_keys:
                     run.put(el)
-                    if sc.is_number_cell(el.text):
+                    if is_number_cell(el.text):
                         nn += 1
-                    elif sc.letter_len(el.text) > 0:
+                    elif letter_len(el.text) > 0:
                         nt += 1
                     del pool[i]
             if run.members and nn > 0 and nn >= nt:
@@ -1607,8 +1681,14 @@ def needs_ocr(page: codec.Page) -> bool:
         if box.kind == codec.KIND_TEXTBOX:
             if isinstance(box, codec.ColumnarBox):
                 # a "(cid:" glyph implies a non-whitespace line, so the
-                # non-empty-line guard is subsumed by the prefix test
+                # non-empty-line guard is subsumed by the prefix test.
+                # C-speed substring screen first; the per-CELL
+                # startswith runs only on a hit ("(cid:" spelled out
+                # across single-char cells must NOT trigger, matching
+                # the reference's per-LTChar test)
                 texts = box.cols[0]
+                if "(cid:" not in "".join(texts):
+                    continue
                 for s, e in box.spans:
                     for i in range(s, e):
                         if texts[i].startswith("(cid:"):
