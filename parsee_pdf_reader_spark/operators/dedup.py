@@ -81,9 +81,7 @@ _SIG_SQL = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_PAIRS_SQL = f"""
     with sigs as (
       select doc_id, {_SIG_SQL} as sig
       from (select doc_id, {_SHINGLES_SQL} as sh from documents) s
@@ -104,8 +102,10 @@ _SIG_SQL = f"""
     from bands a join bands c
       on a.b = c.b and a.band_hash = c.band_hash
      and a.doc_id < c.doc_id
-    """,
-)
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Shingle -> minhash -> band -> bucket-join near-dup candidates.
     Signature stage is a pure projection (no shuffle); candidate pairs
@@ -169,6 +169,107 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.col("c.doc_id").alias("doc_b"),
         F.round(est, 4).alias("est_jaccard"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# connected components: transitive dedup closure over the LSH pairs
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 25
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    with recursive pairs as ({_MINHASH_PAIRS_SQL}),
+    edges as (
+      select doc_a as src, doc_b as dst from pairs
+      union all
+      select doc_b, doc_a from pairs
+    ),
+    reach as (
+      select src as doc_id, dst as other from edges
+      union
+      select r.doc_id, e.dst
+      from reach r join edges e on e.src = r.other
+      where e.dst <> r.doc_id
+    ),
+    lbl as (
+      select doc_id, least(doc_id, min(other)) as cluster_id
+      from reach group by doc_id
+    )
+    select doc_id, cluster_id,
+           count(*) over (partition by cluster_id) as cluster_size
+    from lbl
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup closure: A~B and B~C must land in ONE cluster
+    even when A~C never surfaced as an LSH pair — the step a real
+    pipeline runs between pair generation and canonical-doc selection.
+
+    Connected components by iterative min-label propagation over the
+    symmetric candidate-pair graph: each round is one equi-join +
+    map-side-combinable min aggregation (both shuffles on doc_id), and
+    the loop stops at the fixpoint (a driver-side 0/1 convergence
+    probe per round — legitimate iterative control flow, not data
+    collection). Rounds needed = graph diameter; near-dup components
+    are tiny/star-shaped in practice, so this converges in a few
+    rounds at any corpus size. At 10^12 docs the same loop runs with
+    the pair table checkpointed; the known refinement for adversarial
+    long-chain graphs is large-star/small-star (alternating, halves
+    diameter per round) — same per-round plan shape.
+
+    Output: (doc_id, cluster_id = min doc_id in component,
+    cluster_size), for every doc that appears in at least one pair."""
+    from pyspark.sql import Window
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"),
+                       F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).persist()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .select("doc_id", F.col("doc_id").alias("cluster_id"))
+              .persist())
+    converged = False
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(edges["src"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"))
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,16 @@ def test_ngram_jaccard_kept_is_persisted(spark, tmp_path):
     df = q_ngram_jaccard_pairs(spark, d)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_dedup_clusters_transitive_closure(spark, crafted_dir):
+    """docs 0/1 (exact dups) and 2 (near dup of 0) must land in ONE
+    cluster with the min doc_id as canonical; doc 3 (unrelated) must
+    not appear (it has no candidate pair)."""
+    from parsee_pdf_reader_spark.operators.dedup import q_dedup_clusters
+
+    rows = {r.doc_id: r for r in
+            q_dedup_clusters(spark, crafted_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r.cluster_id == 0 for r in rows.values())
+    assert all(r.cluster_size == 3 for r in rows.values())
