@@ -272,6 +272,57 @@ def q_dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("cluster_size"))
 
 
+@register(
+    "dedup_canonical",
+    f"""
+    with recursive pairs as ({_MINHASH_PAIRS_SQL}),
+    edges as (
+      select doc_a as src, doc_b as dst from pairs
+      union all
+      select doc_b, doc_a from pairs
+    ),
+    reach as (
+      select src as doc_id, dst as other from edges
+      union
+      select r.doc_id, e.dst
+      from reach r join edges e on e.src = r.other
+      where e.dst <> r.doc_id
+    ),
+    lbl as (
+      select doc_id, least(doc_id, min(other)) as cluster_id
+      from reach group by doc_id
+    )
+    select d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) as cluster_id,
+           (row_number() over (
+              partition by coalesce(l.cluster_id, d.doc_id)
+              order by d.n_chars desc, d.doc_id) = 1) as keep
+    from documents d left join lbl l on l.doc_id = d.doc_id
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """The corpus-compaction decision: every document gets a
+    cluster_id (its transitive near-dup component, or itself when it
+    has no candidate pair) and a keep/drop verdict — keep the longest
+    document per cluster, min doc_id on ties. The output drives the
+    actual training-set filter (`where keep`); left-joining the full
+    documents table keeps singletons without ever materializing them
+    in the (small) cluster graph."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = q_dedup_clusters(spark, sf_dir) \
+        .select("doc_id", "cluster_id")
+    joined = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return joined.select(
+        "doc_id", "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-derived, frequency-weighted)
 # ---------------------------------------------------------------------------

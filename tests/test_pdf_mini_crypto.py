@@ -268,3 +268,43 @@ def test_aes256_r6_encrypted_pdf_extracts():
 def test_aes256_r5_encrypted_pdf_extracts():
     """V5/R5 (the deprecated Adobe extension): plain SHA-256 salts."""
     assert _page_text(_aes256_pdf(5)) == "Secret Text"
+
+
+def test_corrupt_filtered_and_encrypted_pdfs_degrade_cleanly():
+    """Truncated / bit-flipped LZW, RunLength and AES fixtures must
+    never hang or crash the kernel — error rows or empty pages, fast."""
+    import random
+
+    from parsee_pdf_reader_spark.kernel.engine import extract_document
+
+    def degrade_ok(blob):
+        # the pipeline contract: rows out, or a CLEAN exception that
+        # _doc_to_rows turns into an error row — never a hang
+        try:
+            assert isinstance(extract_document(blob), list)
+        except Exception:
+            pass
+
+    fixtures = [
+        _filtered_pdf("LZWDecode", _lzw_encode),
+        _filtered_pdf("RunLengthDecode", _rl_encode),
+        _aes256_pdf(6),
+    ]
+    rng = random.Random(11)
+    for data in fixtures:
+        for cut in (20, 200, len(data) // 2):
+            degrade_ok(data[:cut])
+        for _ in range(3):
+            b = bytearray(data)
+            for _k in range(60):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            degrade_ok(bytes(b))
+
+
+def test_malicious_lzw_code_stream_rejected():
+    """An out-of-range LZW code raises inside the decoder (caught by
+    stream_data -> empty stream), not an infinite loop."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _lzw_decode(bytes([0xFF, 0xFF, 0xFF, 0xFF]))
