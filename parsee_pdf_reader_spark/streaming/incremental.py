@@ -80,3 +80,42 @@ def run_stream_event_counts(spark: SparkSession, input_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(docs: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash
+    passes, replays are dropped. ``dropDuplicatesWithinWatermark``
+    dedups on the KEY alone (same hash at a different event time is
+    still a duplicate) while the watermark still bounds state — keys
+    older than the watermark are evicted, so memory is
+    O(distinct keys per watermark window), not O(corpus). This is the
+    streaming twin of the batch ``dedup_exact`` operator (the batch
+    job dedups the historical corpus once; the stream keeps NEW
+    arrivals deduped incrementally)."""
+    hashed = docs.withColumn("content_hash", F.md5("text"))
+    return (
+        hashed.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def run_stream_dedup(spark: SparkSession, input_dir: str,
+                     output_dir: str, checkpoint_dir: str):
+    """availableNow drain of the dedup stream over a parquet dir."""
+    src = (
+        spark.readStream
+        .schema("doc_id long, ingest_ts timestamp, text string, "
+                "lang string")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(input_dir)
+    )
+    out = stream_dedup_exact(src)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

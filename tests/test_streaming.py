@@ -91,3 +91,48 @@ def test_stateful_session_tracking(spark, tmp_path):
         sess.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(sess[1]) == [2, 3]   # 3-event + 2-event closed sessions
     assert sess[2] == [3]
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Two micro-batches; batch 2 replays a batch-1 document (same
+    text, later ingest_ts) and adds a new one — the replay must be
+    dropped, the new doc kept."""
+    import os
+
+    import pandas as pd
+
+    from parsee_pdf_reader_spark.streaming.incremental import (
+        run_stream_dedup,
+    )
+
+    inp = os.path.join(str(tmp_path), "docs_stream")
+    outp = os.path.join(str(tmp_path), "deduped")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(inp)
+    import datetime
+
+    t0 = datetime.datetime(2025, 6, 1, 10, 0, 0)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    b1 = [(1, t0, "alpha body text", "en"),
+          (2, mins(1), "beta body text", "en")]
+    b2 = [(3, mins(2), "alpha body text", "en"),
+          (4, mins(3), "gamma body text", "en")]
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    q = run_stream_dedup(spark, inp, outp, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(outp)
+    kept_texts = {r.text for r in got.collect()}
+    assert "gamma body text" in kept_texts
+    assert "beta body text" in kept_texts
+    # exactly one copy of the replayed content survived
+    assert got.where("text = 'alpha body text'").count() == 1
+    assert got.count() == 3
