@@ -105,13 +105,13 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
-@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """Shingle -> minhash -> band -> bucket-join near-dup candidates.
-    Signature stage is a pure projection (no shuffle); candidate pairs
-    come from the band-bucket equi-join only."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = _toks()
+def minhash_pairs_df(docs, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """DataFrame-in/DataFrame-out core of the LSH candidate stage:
+    (id, text) -> (doc_a, doc_b, est_jaccard). Shared by the
+    registered query and the training-pipeline composition (ids may be
+    strings — urls — or longs; ``doc_a < doc_b`` orders either)."""
+    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
     shingles = F.when(
         F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
     ).otherwise(
@@ -132,7 +132,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         ),
     )
     sigs = (
-        docs.select("doc_id", shingles.alias("sh"))
+        docs.select(F.col(id_col).alias("doc_id"), shingles.alias("sh"))
         .select("doc_id", sig.alias("sig"))
     )
     band_idx = F.explode(
@@ -169,6 +169,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.col("c.doc_id").alias("doc_b"),
         F.round(est, 4).alias("est_jaccard"),
     ).distinct()
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Shingle -> minhash -> band -> bucket-join near-dup candidates.
+    Signature stage is a pure projection (no shuffle); candidate pairs
+    come from the band-bucket equi-join only."""
+    return minhash_pairs_df(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -222,9 +230,15 @@ def q_dedup_clusters(spark, sf_dir):
 
     Output: (doc_id, cluster_id = min doc_id in component,
     cluster_size), for every doc that appears in at least one pair."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_df(pairs)
+
+
+def connected_components_df(pairs):
+    """(doc_a, doc_b) pair graph -> (doc_id, cluster_id, cluster_size)
+    by iterative min-label propagation (see q_dedup_clusters)."""
     from pyspark.sql import Window
 
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"),
                        F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"),

@@ -6,6 +6,8 @@ corpus build actually runs.
       -> extraction (layout kernel | DOM boilerplate strip)
       -> document quality filter (length / stopword signals)
       -> exact dedup on the EXTRACTED text (canonical url wins)
+      -> near-dup clustering (MinHash LSH pairs -> connected
+         components) with a longest-doc-wins keep verdict
       -> token accounting
 
 Every stage is the operator already tested in isolation; this module
@@ -31,7 +33,9 @@ def build_training_corpus(pages_df: DataFrame,
                           min_tokens: int = 30) -> DataFrame:
     """pages -> deduplicated, quality-filtered training rows:
     (url, warc_ts, lang, source_kind, doc_text, n_tokens, bpe_tokens,
-    is_canonical)."""
+    is_canonical, near_dup_cluster, keep). The training set is
+    ``where keep``: exact-canonical AND the longest doc of its
+    near-dup component."""
     kind = sniff_kind_col()
     layout_rows = (
         extract_pages(pages_df.where(kind == "layout"))
@@ -64,5 +68,32 @@ def build_training_corpus(pages_df: DataFrame,
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5("doc_text"))
-    return docs.withColumn(
+    docs = docs.withColumn(
         "is_canonical", F.col("url") == F.min("url").over(w))
+
+    # near-dup closure over the exact-canonical survivors: LSH pairs
+    # -> connected components -> keep the longest doc per component
+    # (composition of dedup.minhash_pairs_df + connected_components_df,
+    # each oracle-verified in isolation)
+    from parsee_pdf_reader_spark.operators.dedup import (
+        connected_components_df,
+        minhash_pairs_df,
+    )
+
+    canon = docs.where("is_canonical")
+    pairs = minhash_pairs_df(canon, id_col="url", text_col="doc_text") \
+        .select("doc_a", "doc_b")
+    clusters = connected_components_df(pairs).select(
+        F.col("doc_id").alias("url"), "cluster_id")
+    out = docs.join(clusters, "url", "left").withColumn(
+        "near_dup_cluster", F.coalesce("cluster_id", "url")).drop(
+        "cluster_id")
+    # rank only among exact-canonical rows — a non-canonical twin must
+    # not steal rank 1 and sink its whole cluster
+    wk = Window.partitionBy("near_dup_cluster").orderBy(
+        F.desc("n_tokens"), F.asc("url"))
+    keeps = (out.where("is_canonical")
+             .withColumn("keep", F.row_number().over(wk) == 1)
+             .select("url", "keep"))
+    return out.join(keeps, "url", "left").withColumn(
+        "keep", F.coalesce("keep", F.lit(False)))

@@ -405,6 +405,22 @@ def test_training_corpus_composition(spark):
     # a duplicated web page (same bytes, different url) for the dedup leg
     blob, golden = build_html_document("web0", 42)
     web_rows.append(("https://w.example/dup0", None, blob, golden, "en"))
+    # a NEAR-duplicate pair for the clustering leg: 400 distinct
+    # words, ONE changed — and the changed word must sit in a block
+    # the boilerplate stripper KEEPS, so probe the builder's golden
+    # main text for a surviving token to mutate
+    base_txt = " ".join(f"w{i}token" for i in range(400))
+    _blob, golden_main = build_html_document("neardup", 42, base_txt)
+    kept_tokens = golden_main.split()
+    victim = kept_tokens[len(kept_tokens) // 2]
+    near_txt = base_txt.replace(victim, "changedtok", 1)
+    assert near_txt != base_txt
+    for url, txt in (("https://n.example/a", base_txt),
+                     ("https://n.example/b", near_txt)):
+        # SAME builder key: identical page structure, so the extracted
+        # texts differ only where the input texts do
+        blob, _g = build_html_document("neardup", 42, txt)
+        web_rows.append((url, None, blob, txt, "en"))
     web = spark.createDataFrame(
         web_rows, "url string, warc_ts timestamp, html binary, "
                   "text string, lang string")
@@ -418,6 +434,14 @@ def test_training_corpus_composition(spark):
     by_url = {r.url: r for r in rows}
     assert by_url["https://w.example/0"].is_canonical
     assert not by_url["https://w.example/dup0"].is_canonical
+    assert not by_url["https://w.example/dup0"].keep
+    # near-dup pair: one cluster, exactly one kept (the longer doc)
+    a = by_url["https://n.example/a"]
+    b = by_url["https://n.example/b"]
+    assert a.near_dup_cluster == b.near_dup_cluster
+    assert a.keep and not b.keep
+    # untouched docs keep themselves
+    assert by_url["https://w.example/1"].keep
 
 
 def test_checkpoint_discovery_is_metadata_only(spark, tmp_path):
