@@ -79,6 +79,49 @@ def _web_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("int").alias("n_kept"))
 
 
+_PDF_DOCS = 200  # keep in sync with tools/make_goldens.py
+
+
+def _pdf_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-%PDF path through the distributed stage: synth-written
+    PDFs (classic xref / Flate, built-in fonts) -> pdf_mini decode ->
+    LAParams grouping -> kernel -> per-page rows. Oracle: the
+    reference engine run over the same decoded pages
+    (fixtures/golden_pdf_sf0.01.parquet)."""
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+
+    from parsee_pdf_reader_spark.pipeline import extract_pages
+    from parsee_pdf_reader_spark.sources.synth import build_pdf_document
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").where(f"doc_id < {_PDF_DOCS}"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = build_pdf_document(f"doc{int(doc_id)}", 42, text)
+                rows.append({
+                    "url": f"https://pdf.example/doc{int(doc_id)}.pdf",
+                    "warc_ts": None, "html": blob, "text": text,
+                    "lang": "en"})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    pages = docs.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    out = extract_pages(pages)
+    return out.select(
+        "url", "page_index", "extracted_text",
+        F.size(F.coalesce(F.col("tables"), F.array())).alias("n_tables"),
+        F.size(F.coalesce(F.col("paragraphs"), F.array()))
+        .alias("n_paragraphs"),
+        "n_elements", "error")
+
+
 def _tables_df_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference df_format sink shape over extracted tables
     (rows-only; shape-tested in pytest)."""
@@ -141,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: fn for name, (fn, _sql) in REGISTRY.items()
     }
     out["extract_pages_flagship"] = _flagship
+    out["extract_pdf_flagship"] = _pdf_flagship
     out["media_decode_stub"] = media_decode_query
     out["extract_web_pages"] = _web_flagship
     out["tables_df_format"] = _tables_df_format
@@ -174,6 +218,11 @@ _GOLDEN_ORACLES = {
         select doc_id, kind, n_bytes, width, height, channels,
                n_frames, payload_sha, error
         from '{_FIXDIR}/golden_media_sf0.01.parquet'
+    """,
+    "extract_pdf_flagship": f"""
+        select url, page_index, extracted_text, n_tables, n_paragraphs,
+               n_elements, error
+        from '{_FIXDIR}/golden_pdf_sf0.01.parquet'
     """,
     "tables_df_pivot": f"""
         select url, page_index, table_pos, g_index, row_idx, item,

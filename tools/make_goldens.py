@@ -15,7 +15,12 @@ Spark queries synthesize at sf0.01:
 - ``golden_media_sf0.01.parquet`` — generator-known truth for the
   media decode stub: every field is RE-DERIVED here from the PIMG1/
   PAUD1/PVID1 container spec (seed math duplicated on purpose), not
-  read back through ``decode_media``.
+  read back through ``decode_media``;
+- ``golden_pdf_sf0.01.parquet`` — the REAL-%PDF flagship oracle: the
+  reference engine (refshim) run over the pages pdf_mini decodes from
+  synth-written PDFs, in the flagship row shape. This pins the kernel
+  byte-identically on the %PDF path; the decode stage itself is pinned
+  by the real-fixture golden counts in tests/test_real_pdf.py.
 
 These fixtures turn the byte-identity pytest gate into driver-visible
 ``hash_match`` green rows: the DuckDB twin is a plain SELECT over the
@@ -45,9 +50,12 @@ def main():
 
     from refadapter import reference_extract_document
 
+    from parsee_pdf_reader_spark.sources import layout_codec as codec
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
     from parsee_pdf_reader_spark.sources.synth import (
         build_document,
         build_html_document,
+        build_pdf_document,
     )
 
     docs = pq.read_table(
@@ -84,8 +92,36 @@ def main():
                 "payload_sha": hashlib.sha256(payload).hexdigest(),
                 "error": None}
 
-    flag_rows, cell_rows, web_rows = [], [], []
+    flag_rows, cell_rows, web_rows, pdf_rows = [], [], [], []
     media_rows = [media_truth(int(d["doc_id"])) for d in docs]
+
+    _PDF_DOCS = 200  # %PDF flagship slice (decode is ~3.5x PLD cost)
+    for d in docs:
+        doc_id = int(d["doc_id"])
+        if doc_id >= _PDF_DOCS:
+            continue
+        url = f"https://pdf.example/doc{doc_id}.pdf"
+        blob = build_pdf_document(f"doc{doc_id}", 42, d["text"])
+        err = None
+        try:
+            pages = parse_pdf_mini(blob)
+            enc = codec.encode_document(pages)
+            prows = reference_extract_document(enc) if pages else []
+        except Exception as e:
+            prows, err = [], f"{type(e).__name__}: {e}"
+        if prows:
+            for pg in prows:
+                pdf_rows.append({
+                    "url": url, "page_index": pg["page_index"],
+                    "extracted_text": pg["extracted_text"],
+                    "n_tables": len(pg["tables"]),
+                    "n_paragraphs": len(pg["paragraphs"]),
+                    "n_elements": pg["n_elements"], "error": None})
+        else:
+            pdf_rows.append({"url": url, "page_index": -1,
+                             "extracted_text": None, "n_tables": None,
+                             "n_paragraphs": None, "n_elements": None,
+                             "error": err or "EmptyDocument: 0 pages"})
     for d in docs:
         doc_id = int(d["doc_id"])
         key = f"doc{doc_id}"
@@ -160,7 +196,8 @@ def main():
             (f"golden_flagship_{sf_tag}.parquet", flag_rows, flag_schema),
             (f"golden_tables_{sf_tag}.parquet", cell_rows, cell_schema),
             (f"golden_web_{sf_tag}.parquet", web_rows, web_schema),
-            (f"golden_media_{sf_tag}.parquet", media_rows, media_schema)):
+            (f"golden_media_{sf_tag}.parquet", media_rows, media_schema),
+            (f"golden_pdf_{sf_tag}.parquet", pdf_rows, flag_schema)):
         path = os.path.join(out_dir, name)
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), path,
                        compression="zstd")
