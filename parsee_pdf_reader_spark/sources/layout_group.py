@@ -352,9 +352,19 @@ def group_lines_to_boxes(lines: List[_Line],
 # ---------------------------------------------------------------------------
 
 
+#: agglomerative ordering is O(n^2 log n) in textbox count — fine for
+#: real pages (tens of boxes), a hang vector on adversarial ones
+#: (thousands of one-char boxes). Past the cap we use pdfminer's own
+#: boxes_flow=None ordering (top-down, then left-right), which is what
+#: pdfminer users disable to for the same pathological inputs.
+_ORDER_BOXES_CAP = 1000
+
+
 def order_boxes(boxes: List[_BoxG], page_bbox) -> List[_BoxG]:
     if len(boxes) <= 1:
         return list(boxes)
+    if len(boxes) > _ORDER_BOXES_CAP:
+        return sorted(boxes, key=lambda b: (-b.y1, b.x0))
 
     def dist(a, b) -> float:
         x0 = min(a.x0, b.x0)

@@ -180,3 +180,25 @@ def test_grouped_vs_raw_paths_genuinely_differ():
     r_texts = [p["text"] for p in raw["paragraphs"]]
     assert any("AB" in t for t in g_texts), g_texts   # one element
     assert not any("AB" in t for t in r_texts), r_texts  # split
+
+
+def test_order_boxes_pathological_page_bounded():
+    """Thousands of isolated one-char boxes (adversarial input) must
+    not trigger the O(n^2) agglomerative ordering — the cap falls back
+    to pdfminer's boxes_flow=None order (top-down, left-right) and
+    completes fast."""
+    import time
+
+    chars = []
+    for i in range(1500):
+        x = 40.0 + (i % 30) * 19.0
+        y = 770.0 - (i // 30) * 15.0
+        chars.append(_c(x, y, "x", w=4.0, h=4.0))
+    t0 = time.time()
+    out = analyze_chars(chars, MB)
+    assert time.time() - t0 < 10.0
+    total = sum(len(ln) for b in out for ln in b.lines)
+    assert total == 1500
+    # ordering: strictly top-down by first line y
+    tops = [b.lines[0][0].y1 for b in out]
+    assert tops == sorted(tops, reverse=True)
