@@ -291,3 +291,40 @@ def q_corpus_length_quantiles(spark, sf_dir):
         q(F.lit(0.5)).alias("p50_chars"),
         q(F.lit(0.9)).alias("p90_chars"),
     )
+
+
+@register(
+    "text_normalize",
+    r"""
+    select doc_id,
+           trim(regexp_replace(
+               regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) as norm_text,
+           lower(trim(regexp_replace(
+               regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g'))) as norm_lower,
+           (length(text) - length(trim(regexp_replace(
+               regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')))) as chars_removed
+    from documents
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Training-text normalization as pure column expressions: strip
+    C0/DEL control chars (tab/newlines fold into the whitespace
+    collapse), collapse runs of whitespace to single spaces, trim, and
+    a casefolded variant — the canonical pre-tokenization cleanup.
+    Zero shuffles; codegen'd end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(
+        "text", r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.lower(norm).alias("norm_lower"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+    )

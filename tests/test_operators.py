@@ -244,3 +244,30 @@ def test_dedup_clusters_transitive_closure(spark, crafted_dir):
     assert set(rows) == {0, 1, 2}
     assert all(r.cluster_id == 0 for r in rows.values())
     assert all(r.cluster_size == 3 for r in rows.values())
+
+
+def test_text_normalize_strips_controls_and_collapses(spark, tmp_path):
+    """Non-vacuous normalization check: control chars removed,
+    whitespace runs collapsed, casefold variant consistent."""
+    import os
+
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_text_normalize,
+    )
+
+    d = str(tmp_path)
+    docs = [
+        (0, "Hello\x00\x07 World\t\t  MiXeD\x1f Case\n\nEnd ", "en",
+         "s", 30),
+        (1, "already clean", "en", "s", 13),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in q_text_normalize(spark, d).collect()}
+    assert rows[0].norm_text == "Hello World MiXeD Case End"
+    assert rows[0].norm_lower == "hello world mixed case end"
+    assert rows[0].chars_removed > 0
+    assert rows[1].norm_text == "already clean"
+    assert rows[1].chars_removed == 0
