@@ -659,7 +659,8 @@ PDF_STREAM_FILTERS = {
 
 def build_pdf_document(key: str, seed: int = 42,
                        text: Optional[str] = None,
-                       stream_filter: Optional[str] = None) -> bytes:
+                       stream_filter: Optional[str] = None,
+                       xref_kind: str = "classic") -> bytes:
     """A deterministic minimal REAL PDF (classic xref, uncompressed
     content streams, built-in Helvetica — public PDF 1.4 subset).
     Geometry mirrors the layout generator's financial-report flavour:
@@ -755,6 +756,8 @@ def build_pdf_document(key: str, seed: int = 42,
                          f"/Filter/{fname}>>\nstream\n"
                          ).encode() + stream + b"\nendstream")
 
+    if xref_kind == "stream":
+        return _emit_pdf_xref_stream(objs)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -767,4 +770,69 @@ def build_pdf_document(key: str, seed: int = 42,
         out += f"{off:010d} 00000 n \n".encode()
     out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _emit_pdf_xref_stream(objs: List[bytes]) -> bytes:
+    """Modern PDF 1.5+ layout: non-stream objects (catalog, pages
+    node, font, page dicts) packed into an /ObjStm; content streams
+    direct; a compressed /XRef stream (W [1 3 1], type-2 entries for
+    the ObjStm members) replaces the classic table+trailer. Exercises
+    pdf_mini's xref-stream + ObjStm resolution inside the identity
+    fuzz."""
+    import zlib
+
+    n = len(objs)
+    objstm_num = n + 1
+    xref_num = n + 2
+    # non-stream objects (no 'stream' keyword) go into the ObjStm
+    member_nums = [i + 1 for i, b in enumerate(objs)
+                   if b"\nstream\n" not in b]
+    direct_nums = [i + 1 for i, b in enumerate(objs)
+                   if b"\nstream\n" in b]
+    header_parts = []
+    body = b""
+    member_off = {}
+    for num in member_nums:
+        member_off[num] = len(body)
+        body += objs[num - 1] + b" "
+    header = (" ".join(f"{num} {member_off[num]}"
+                       for num in member_nums) + " ").encode()
+    payload = header + body
+    zdata = zlib.compress(payload)
+    _ = header_parts
+    objstm = (f"<</Type/ObjStm/N {len(member_nums)}"
+              f"/First {len(header)}/Filter/FlateDecode"
+              f"/Length {len(zdata)}>>").encode() \
+        + b"\nstream\n" + zdata + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in direct_nums:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num - 1] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm + b"\nendobj\n"
+    xref_at = len(out)
+
+    rows = b""
+    size = xref_num + 1
+    for num in range(1, size):
+        if num in member_off:
+            rows += bytes([2]) + objstm_num.to_bytes(3, "big") \
+                + bytes([member_nums.index(num)])
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(3, "big") \
+                + bytes([0])
+        elif num == xref_num:
+            rows += bytes([1]) + xref_at.to_bytes(3, "big") + bytes([0])
+        else:
+            rows += bytes([0]) + (0).to_bytes(3, "big") + bytes([255])
+    zrows = zlib.compress(rows)
+    out += (f"{xref_num} 0 obj\n<</Type/XRef/W[1 3 1]"
+            f"/Index[1 {size - 1}]/Size {size}/Root 1 0 R"
+            f"/Filter/FlateDecode/Length {len(zrows)}>>"
+            ).encode() + b"\nstream\n" + zrows \
+        + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

@@ -179,3 +179,25 @@ def test_synthetic_pdf_filter_variants_identity():
                 assert kt == rt, f"{filt}/{i}"
                 content += len(kt) + len(k["extracted_text"])
         assert content > 0, f"{filt}: decoded nothing at all"
+
+
+def test_synthetic_pdf_xref_stream_layout_identity():
+    """Modern PDF 1.5 layout (compressed /XRef stream + /ObjStm
+    holding every non-stream object): same extraction as the classic
+    layout of the same document, byte-identical kernel-vs-reference."""
+    from parsee_pdf_reader_spark.sources.synth import build_pdf_document
+
+    for i in range(8):
+        classic = build_pdf_document(f"xs{i}", 42, xref_kind="classic")
+        modern = build_pdf_document(f"xs{i}", 42, xref_kind="stream")
+        assert classic != modern
+        p_c = parse_pdf_mini(classic)
+        p_m = parse_pdf_mini(modern)
+        rows_c = extract_document(codec.encode_document(p_c))
+        rows_m = extract_document(codec.encode_document(p_m))
+        assert [r["extracted_text"] for r in rows_c] == \
+            [r["extracted_text"] for r in rows_m], f"xs{i}"
+        ref = refadapter.reference_extract_document(
+            codec.encode_document(p_m))
+        for k, r in zip(rows_m, ref):
+            assert k["extracted_text"] == r["extracted_text"], f"xs{i}"
