@@ -237,3 +237,43 @@ def q_events_trailing_hour_window(spark, sf_dir):
         .cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("cnt_1h"),
     )
+
+
+@register(
+    "salted_user_stats",
+    """
+    select user_id,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,6))) as double) as sum_value,
+           max(value) as max_value
+    from events
+    group by user_id
+    """,
+)
+def q_salted_user_stats(spark, sf_dir):
+    """EXPLICIT two-phase salted aggregation — the hot-key groupBy
+    shape (north_rule: 'explicit salting of skewed hosts'). Phase 1
+    aggregates on (user_id, salt) so a hot key's rows spread over
+    _SALT buckets and combine map-side in parallel; phase 2 merges the
+    per-salt partials (count -> sum, sum -> sum, max -> max). The
+    result is EXACTLY the plain groupBy (decimal sums make float
+    addition order-independent), which is what the oracle checks —
+    salting must never change answers, only the shuffle layout.
+    Spark's own map-side partial aggregation makes this redundant for
+    count/sum/max; the pattern matters for aggregates without partial
+    implementations (exact distinct lists, UDAFs) and is pinned here
+    against its unsalted twin."""
+    _SALT = 8
+    events = _t(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT)))
+    phase1 = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.max("value").alias("m"),
+    )
+    return phase1.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+        F.max("m").alias("max_value"),
+    )
