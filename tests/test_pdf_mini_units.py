@@ -73,3 +73,43 @@ def test_matrix_composition():
     scale = (2, 0, 0, 3, 0, 0)
     m = _mat_mul(translate, scale)  # translate THEN scale
     assert m == (2, 0, 0, 3, 20, 60)
+
+
+def test_rotated_text_bbox_bounds_all_corners():
+    """90-degree-rotated text (Tm rotation): each glyph's bbox must
+    bound all four transformed corners — vertical extent spans the
+    advance, horizontal extent spans the glyph height."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    content = ("BT /F1 10 Tf 0 1 -1 0 300 100 Tm (AB) Tj ET")
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        (b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+         b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>"),
+        (f"<</Length {len(content)}>>\nstream\n{content}\nendstream"
+         ).encode(),
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+
+    pages = parse_pdf_mini(bytes(out), group=False)
+    chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
+    assert [c.text for c in chars] == ["A", "B"]
+    a = chars[0]
+    # rotation 90°: advance runs along +y, glyph box along -x
+    assert a.y1 - a.y0 >= 4.9   # advance (0.5em * 10pt) in y
+    assert a.x1 - a.x0 >= 9.9   # glyph height (1em + descent) in x
+    # second glyph stacked above the first
+    assert chars[1].y0 > a.y0
