@@ -1356,6 +1356,18 @@ class Font:
             self.first_char = pdf.resolve(fdict.get("FirstChar", 0)) or 0
             w = pdf.resolve(fdict.get("Widths")) or []
             self.simple_widths = [pdf.resolve(x) or 0 for x in w]
+            # Type3 glyph space is defined by /FontMatrix, not /1000
+            # (ISO 32000 §9.6.5): width in text space = w * matrix[0].
+            # None = the /1000 convention (kept as division so default
+            # geometry stays bit-identical).
+            self.simple_scale = None
+            if self.subtype == "Type3":
+                fm = pdf.resolve(fdict.get("FontMatrix"))
+                if isinstance(fm, list) and len(fm) == 6:
+                    try:
+                        self.simple_scale = float(pdf.resolve(fm[0]))
+                    except (TypeError, ValueError):
+                        pass
             fd = pdf.resolve(fdict.get("FontDescriptor"))
             self.diff_map: Dict[int, str] = {}
             enc = pdf.resolve(fdict.get("Encoding"))
@@ -1427,9 +1439,13 @@ class Font:
                 idx = b - self.first_char
                 if 0 <= idx < len(self.simple_widths) \
                         and self.simple_widths[idx]:
-                    w = self.simple_widths[idx] / 1000.0
+                    sw = self.simple_widths[idx]
                 else:
-                    w = self.missing_width / 1000.0
+                    sw = self.missing_width
+                if self.simple_scale is None:
+                    w = sw / 1000.0
+                else:
+                    w = sw * self.simple_scale
                 out.append((b, uni, w))
         return out
 

@@ -113,3 +113,43 @@ def test_rotated_text_bbox_bounds_all_corners():
     assert a.x1 - a.x0 >= 9.9   # glyph height (1em + descent) in x
     # second glyph stacked above the first
     assert chars[1].y0 > a.y0
+
+
+def test_type3_fontmatrix_width_scaling():
+    """Type3 widths live in glyph space scaled by /FontMatrix
+    (ISO 32000 §9.6.5): with matrix [0.01 0 0 0.01 0 0] a width of
+    500 glyph units is 5pt of text space (x 10pt font = 50pt)."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    content = "BT /F1 10 Tf 1 0 0 1 50 700 Tm (AB) Tj ET"
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        (b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+         b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>"),
+        (f"<</Length {len(content)}>>\nstream\n{content}\nendstream"
+         ).encode(),
+        (b"<</Type/Font/Subtype/Type3"
+         b"/FontMatrix[0.01 0 0 0.01 0 0]"
+         b"/FirstChar 65/LastChar 66/Widths[500 500]"
+         b"/CharProcs<<>>/Encoding<</Type/Encoding>>>>"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+
+    pages = parse_pdf_mini(bytes(out), group=False)
+    chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
+    assert [c.text for c in chars] == ["A", "B"]
+    # advance = 500 * 0.01 * 10pt = 50pt (the /1000 convention would
+    # have produced 5pt)
+    assert abs(chars[1].x0 - chars[0].x0 - 50.0) < 0.01
