@@ -1371,6 +1371,20 @@ class Font:
             fd = pdf.resolve(fdict.get("FontDescriptor"))
             self.diff_map: Dict[int, str] = {}
             enc = pdf.resolve(fdict.get("Encoding"))
+            # named byte encodings: WinAnsi is cp1252 (0x80-0x9F carry
+            # quotes/dashes that latin-1 maps to control chars),
+            # MacRoman is mac_roman
+            enc_name = None
+            if isinstance(enc, str):
+                enc_name = str(enc)
+            elif isinstance(enc, dict):
+                be = pdf.resolve(enc.get("BaseEncoding"))
+                if isinstance(be, str):
+                    enc_name = str(be)
+            self.byte_codec = {
+                "WinAnsiEncoding": "cp1252",
+                "MacRomanEncoding": "mac_roman",
+            }.get(enc_name, "latin-1")
             if isinstance(enc, dict):
                 diffs = pdf.resolve(enc.get("Differences")) or []
                 code = 0
@@ -1435,7 +1449,10 @@ class Font:
                 if uni is None:
                     uni = self.diff_map.get(b)
                 if uni is None:
-                    uni = bytes([b]).decode("latin-1", "replace")
+                    try:
+                        uni = bytes([b]).decode(self.byte_codec)
+                    except UnicodeDecodeError:
+                        uni = bytes([b]).decode("latin-1", "replace")
                 idx = b - self.first_char
                 if 0 <= idx < len(self.simple_widths) \
                         and self.simple_widths[idx]:
