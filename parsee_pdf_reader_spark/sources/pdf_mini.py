@@ -1679,6 +1679,28 @@ class TextInterpreter:
                 elif op == "Q":
                     if gs_stack:
                         (ctm,) = gs_stack.pop()
+                elif op == "BI":
+                    # inline image: raw binary follows the ID operator
+                    # up to a whitespace-delimited EI — it would
+                    # otherwise be tokenized as garbage (an unbalanced
+                    # '(' swallows the rest of the stream). Skip it.
+                    data = lex.data
+                    pos = data.find(b"ID", lex.pos)
+                    pos = lex.pos if pos < 0 else pos + 3
+                    while True:
+                        e = data.find(b"EI", pos)
+                        if e < 0:
+                            lex.pos = lex.n
+                            break
+                        before_ws = e == 0 or data[e - 1] in _WS
+                        after = data[e + 2:e + 3]
+                        if before_ws and (after == b"" or after in
+                                          (b" ", b"\n", b"\r", b"\t",
+                                           b"\x00", b"\x0c", b"/",
+                                           b"[", b"<", b"(")):
+                            lex.pos = e + 2
+                            break
+                        pos = e + 2
                 elif op == "Do" and stack and depth < 8:
                     xo = self.pdf.resolve(
                         (self.pdf.resolve(self.xobjects) or {})

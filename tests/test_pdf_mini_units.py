@@ -190,3 +190,42 @@ def test_winansi_encoding_high_bytes():
     text = "".join(c.text for b in pages[0].boxes
                    for ln in b.lines for c in ln)
     assert text == "“hi” – ok"
+
+
+def test_inline_image_skipped_text_survives():
+    """BI..ID <raw binary with stray parens> EI must be skipped — the
+    text after the inline image still extracts (an unskipped '('
+    would swallow the rest of the stream)."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    content = (b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (before) Tj ET\n"
+               b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00(\xff\x12)\x9a\n"
+               b"EI\n"
+               b"BT /F1 10 Tf 1 0 0 1 50 650 Tm (after) Tj ET")
+    body = (f"<</Length {len(content)}>>\nstream\n".encode()
+            + content + b"\nendstream")
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        (b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+         b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>"),
+        body,
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, ob in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + ob + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+
+    pages = parse_pdf_mini(bytes(out), group=False)
+    text = "".join(c.text for b in pages[0].boxes
+                   for ln in b.lines for c in ln)
+    assert "before" in text and "after" in text
