@@ -1753,15 +1753,36 @@ def parse_pdf_mini(pdf_bytes: bytes, group: bool = True) -> List[Page]:
     for pg in doc.pages():
         mb = doc.resolve(pg.get("MediaBox")) or [0, 0, 612, 792]
         mb = [float(doc.resolve(v)) for v in mb]
+        x0, y0, x1, y1 = mb
+        rotate = doc.resolve(pg.get("Rotate")) or 0
+        try:
+            rotate = int(rotate) % 360
+        except (TypeError, ValueError):
+            rotate = 0
+        # pdfminer's initial page CTM (PDFPageInterpreter.process_page):
+        # /Rotate turns the page into device space and the mediabox
+        # origin translates to (0, 0); 90/270 swap the output box.
+        if rotate == 90:
+            ctm = (0.0, -1.0, 1.0, 0.0, -y0, x1)
+            out_mb = (0.0, 0.0, y1 - y0, x1 - x0)
+        elif rotate == 180:
+            ctm = (-1.0, 0.0, 0.0, -1.0, x1, y1)
+            out_mb = (0.0, 0.0, x1 - x0, y1 - y0)
+        elif rotate == 270:
+            ctm = (0.0, 1.0, -1.0, 0.0, y1, -x0)
+            out_mb = (0.0, 0.0, y1 - y0, x1 - x0)
+        else:
+            ctm = (1.0, 0.0, 0.0, 1.0, -x0, -y0)
+            out_mb = (0.0, 0.0, x1 - x0, y1 - y0)
         interp = TextInterpreter(doc, pg.get("Resources") or {})
         try:
-            interp.run(doc.page_content(pg))
+            interp.run(doc.page_content(pg), ctm=ctm)
         except Exception:
             pass
         chars = [c for c in interp.chars if c.text and c.text != "\x00"]
         if group:
-            boxes = analyze_chars(chars, mb)
+            boxes = analyze_chars(chars, out_mb)
         else:
             boxes = [Box(KIND_CHARS, lines=[chars])] if chars else []
-        pages_out.append(Page((mb[0], mb[1], mb[2], mb[3]), None, boxes))
+        pages_out.append(Page(out_mb, None, boxes))
     return pages_out

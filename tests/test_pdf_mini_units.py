@@ -229,3 +229,63 @@ def test_inline_image_skipped_text_survives():
     text = "".join(c.text for b in pages[0].boxes
                    for ln in b.lines for c in ln)
     assert "before" in text and "after" in text
+
+
+def _one_page(content: bytes, page_extra: bytes = b"",
+              mediabox: bytes = b"[0 0 612 792]") -> bytes:
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        (b"<</Type/Page/Parent 2 0 R/MediaBox" + mediabox + page_extra
+         + b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>"),
+        (f"<</Length {len(content)}>>\nstream\n".encode()
+         + content + b"\nendstream"),
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, ob in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + ob + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_page_rotate_90_reads_horizontally():
+    """/Rotate 90: the device page is the rotated one (pdfminer's
+    initial-CTM semantics) — text laid out along +y in user space
+    reads as an ordinary horizontal line, and the mediabox swaps."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    # in user space: rotated text (90°) so that AFTER the page /Rotate
+    # the glyphs are upright at a constant device y
+    content = b"BT /F1 10 Tf 0 1 -1 0 100 50 Tm (rot) Tj ET"
+    pdf = _one_page(content, page_extra=b"/Rotate 90")
+    pages = parse_pdf_mini(pdf)
+    assert pages[0].mediabox == (0.0, 0.0, 792.0, 612.0)
+    chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
+    assert "".join(c.text for c in chars) == "rot"
+    ys = {round(c.y0) for c in chars}
+    assert len(ys) == 1  # one horizontal line in device space
+    xs = [c.x0 for c in chars]
+    assert xs == sorted(xs)
+
+
+def test_mediabox_nonzero_origin_translates():
+    """MediaBox [100 50 712 842]: content coordinates shift so the
+    output page starts at (0, 0)."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    content = b"BT /F1 10 Tf 1 0 0 1 150 100 Tm (o) Tj ET"
+    pdf = _one_page(content, mediabox=b"[100 50 712 842]")
+    pages = parse_pdf_mini(pdf)
+    assert pages[0].mediabox == (0.0, 0.0, 612.0, 792.0)
+    chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
+    assert round(chars[0].x0) == 50  # 150 - 100
+    assert 48 <= chars[0].y0 <= 50   # 100 - 50 + descent
