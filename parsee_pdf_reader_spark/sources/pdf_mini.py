@@ -20,9 +20,12 @@ PDFs:
   ISO 32000-2 hardened hash) via a from-scratch FIPS-197 AES — all
   with empty user password (the ``bayer1.pdf`` case; pure-bytes,
   unlike the reference's in-place qpdf rewrite, converter.py:41-52);
-- simple fonts (/Widths, /FirstChar, /Differences) and composite
+- simple fonts (/Widths, /FirstChar, /Differences, WinAnsi/MacRoman
+  byte encodings, Type3 /FontMatrix width scaling) and composite
   Type0/CIDFontType2 fonts (Identity-H, /W + /DW widths, /ToUnicode
   bfchar/bfrange CMaps);
+- page /Rotate (90/180/270) and nonzero-origin MediaBoxes via the
+  initial page CTM, inline images (BI..ID..EI) skipped;
 - a content-stream text interpreter (BT/ET, Tf, Td/TD/Tm/T*, TL, Tc,
   Tw, Tz, Ts, Tj, TJ, ', ", plus q/Q/cm CTM tracking) that emits
   positioned chars with pdfminer-compatible bboxes: for horizontal
