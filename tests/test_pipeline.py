@@ -358,12 +358,24 @@ def test_mixed_corpus_single_pipeline(spark):
                      open(pdf_path, "rb").read(), None, "en"))
     rows.append(("https://junk.example/x", None, b"\x00\x01garbage",
                  "t", "en"))
+    # synth PDFs in both xref layouts and an LZW-filtered one (r3)
+    from parsee_pdf_reader_spark.sources.synth import build_pdf_document
+
+    rows.append(("https://m.example/classic.pdf", None,
+                 build_pdf_document("mix1", 42), None, "en"))
+    rows.append(("https://m.example/modern.pdf", None,
+                 build_pdf_document("mix2", 42, xref_kind="stream"),
+                 None, "en"))
+    rows.append(("https://m.example/lzw.pdf", None,
+                 build_pdf_document("mix3", 42, stream_filter="lzw"),
+                 None, "en"))
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
                                       "lang"])
     df = spark.createDataFrame(pdf, "url string, warc_ts timestamp, "
                                     "html binary, text string, "
                                     "lang string")
-    out = {r.url: r for r in extract_pages(df).collect()}
+    out_rows = extract_pages(df).collect()
+    out = {r.url: r for r in out_rows}
     assert out["https://a.example/doc5"].error is None
     assert out["https://a.example/doc5"].n_elements > 0
     if has_pdf:
@@ -371,6 +383,10 @@ def test_mixed_corpus_single_pipeline(spark):
         assert pg.error is None and pg.tables[0].num_rows == 47
     junk = out["https://junk.example/x"]
     assert junk.page_index == -1 and junk.error is not None
+    for u in ("https://m.example/classic.pdf",
+              "https://m.example/modern.pdf",
+              "https://m.example/lzw.pdf"):
+        assert out[u].error is None and out[u].n_elements > 0, u
 
 
 def test_zero_page_document_emits_marker_row(spark):
