@@ -79,7 +79,9 @@ def _web_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("int").alias("n_kept"))
 
 
-_PDF_DOCS = 200  # keep in sync with tools/make_goldens.py
+#: %PDF flagship slice size (decode is ~3.5x PLD cost);
+#: tools/make_goldens.py imports this so query and golden stay in sync
+_PDF_DOCS = 200
 
 
 def _pdf_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

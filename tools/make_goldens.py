@@ -95,7 +95,7 @@ def main():
     flag_rows, cell_rows, web_rows, pdf_rows = [], [], [], []
     media_rows = [media_truth(int(d["doc_id"])) for d in docs]
 
-    _PDF_DOCS = 200  # %PDF flagship slice (decode is ~3.5x PLD cost)
+    from __spark_entry__ import _PDF_DOCS  # single source of truth
     for d in docs:
         doc_id = int(d["doc_id"])
         if doc_id >= _PDF_DOCS:
