@@ -280,6 +280,11 @@ def connected_components_df(pairs):
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds")
+    # truncate the iteration lineage: without this the returned plan
+    # nests every round's join (downstream consumers would re-plan —
+    # and on executor loss re-COMPUTE — the whole iteration history);
+    # localCheckpoint materializes the fixpoint and cuts the DAG.
+    labels = labels.localCheckpoint(eager=True)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id",
