@@ -328,3 +328,58 @@ def q_text_normalize(spark, sf_dir):
         F.lower(norm).alias("norm_lower"),
         (F.length("text") - F.length(norm)).alias("chars_removed"),
     )
+
+
+_TFIDF_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    with tf as (
+      select doc_id, tok, count(*) as tf
+      from (select doc_id, unnest({_TOKS_SQL}) as tok from documents) t
+      group by doc_id, tok
+    ),
+    df as (select tok, count(*) as df from tf group by tok),
+    n as (select count(*) as n from documents),
+    scored as (
+      select tf.doc_id, tf.tok, tf.tf, df.df,
+             round(tf.tf * ln(n.n / df.df), 4) as tfidf,
+             row_number() over (
+               partition by tf.doc_id
+               order by tf.tf * ln(n.n / df.df) desc, tf.tok) as rnk
+      from tf join df using (tok) cross join n
+    )
+    select doc_id, tok, tf, df, tfidf
+    from scored where rnk <= {_TFIDF_K}
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: TF-IDF top-{k} terms.
+
+    Shuffle story at 10^12 docs: explode -> (doc, token) count (one
+    exchange, map-side combinable), token document-frequency from the
+    tf table (second exchange on token — already distinct per doc, so
+    count(*) IS the document frequency), broadcast-join the df table
+    back (token vocabulary << corpus), and a per-doc window for the
+    top-k (partitioned by doc_id — millions of small partitions, no
+    hot key). The corpus size N is a driver-side count (metadata-cheap
+    on parquet/Iceberg), inlined as a literal so no global window ever
+    materializes."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = _toks_lower()
+    tf = (docs.select("doc_id", F.explode(toks).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (tf.join(F.broadcast(df), "tok")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("doc_id")
+                  .orderBy(score.desc(), F.asc("tok")))))
+    return (scored.where(F.col("rnk") <= _TFIDF_K)
+            .select("doc_id", "tok", "tf", "df",
+                    F.round(score, 4).alias("tfidf")))
