@@ -271,3 +271,33 @@ def test_text_normalize_strips_controls_and_collapses(spark, tmp_path):
     assert rows[0].chars_removed > 0
     assert rows[1].norm_text == "already clean"
     assert rows[1].chars_removed == 0
+
+
+def test_tfidf_top_terms_ranks_discriminative_tokens(spark, tmp_path):
+    """A token unique to one doc must outrank tokens shared by all
+    docs, regardless of raw counts."""
+    import os
+
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_tfidf_top_terms,
+    )
+
+    d = str(tmp_path)
+    common = "shared words appear everywhere always " * 3
+    docs = [
+        (0, common + "uniquezero", "en", "s", 40),
+        (1, common + "uniqueone uniqueone", "en", "s", 40),
+        (2, common, "en", "s", 40),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = q_tfidf_top_terms(spark, d).collect()
+    top = {}
+    for r in rows:
+        top.setdefault(r.doc_id, []).append((r.tok, r.tfidf))
+    assert top[0][0][0] == "uniquezero"  # df=1 beats the common words
+    assert top[1][0][0] == "uniqueone"
+    # common words score 0 (ln(3/3)): every doc-2 term ties at 0
+    assert all(abs(s) < 1e-9 for _t, s in top[2])
