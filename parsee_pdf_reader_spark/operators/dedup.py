@@ -284,7 +284,10 @@ def connected_components_df(pairs):
     # nests every round's join (downstream consumers would re-plan —
     # and on executor loss re-COMPUTE — the whole iteration history);
     # localCheckpoint materializes the fixpoint and cuts the DAG.
-    labels = labels.localCheckpoint(eager=True)
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()  # the checkpoint supersedes the caches
+    edges.unpersist()
+    labels = final
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id",
