@@ -365,23 +365,21 @@ _SIMHASH_SQL = f"""
 """
 
 
-@register(
-    "dedup_simhash",
-    f"""
-    select doc_id, simhash16,
-           count(*) over (partition by simhash16) as cluster_size
-    from (select doc_id, {_SIMHASH_SQL} as simhash16
-          from documents) t
-    """,
-)
-def q_dedup_simhash(spark, sf_dir):
-    """Frequency-weighted 16-bit SimHash as one codegen'd projection
-    (nested aggregate over tokens per bit), then a window for cluster
-    sizes. Identical md5-nibble arithmetic on both engines."""
-    from pyspark.sql import Window
+def simhash_col(toks, nbits=16):
+    """Frequency-weighted SimHash over a token-array column as one
+    codegen'd projection (nested aggregate over tokens per bit), bit i
+    drawn from nibble i//4 of md5(token) — identical arithmetic to the
+    DuckDB twin at nbits=16.
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = _toks()
+    ``nbits`` may be 1..63 (md5 supplies 128 derived bits; one signed
+    long word holds 63 without overflow — Spark 4 runs ANSI mode, so a
+    2^63 accumulation would raise rather than wrap). The driver-gate
+    twin stays at 16 bits for the oracle; production web-scale corpora
+    should pass 63 (16 bits saturate: at 10^12 rows every one of the
+    65,536 values collides). Beyond 63 bits, shard into an array of
+    long words — not needed while 63 bits >> log2(corpus)."""
+    if not (1 <= nbits <= 63):
+        raise ValueError("nbits must be in 1..63 (one signed long word)")
 
     def nibble_val(t, i):
         ch = F.substring(F.md5(t), (i / 4).cast("int") + 1, 1)
@@ -400,21 +398,46 @@ def q_dedup_simhash(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    simhash = F.aggregate(
+    # accumulate high-bit-first as acc*2 + bit: stays < 2^nbits <= 2^63,
+    # and at nbits=16 equals the pow(2,i) sum the oracle computes
+    return F.aggregate(
         F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda i: F.when(sign_sum(i) >= 0, 1).otherwise(0)
-            * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            F.sequence(F.lit(nbits - 1), F.lit(0), F.lit(-1)),
+            lambda i: F.when(sign_sum(i) >= 0, 1).otherwise(0).cast("long"),
         ),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        lambda acc, x: acc * 2 + x,
     )
-    base = docs.select("doc_id", simhash.alias("simhash16"))
-    w = Window.partitionBy("simhash16")
-    return base.select(
-        "doc_id", "simhash16",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-    )
+
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    select doc_id, simhash16,
+           count(*) over (partition by simhash16) as cluster_size
+    from (select doc_id, {_SIMHASH_SQL} as simhash16
+          from documents) t
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash (oracle twin of the DuckDB nibble arithmetic;
+    `simhash_col` parameterizes the width for production use), with
+    cluster sizes per hash value.
+
+    Scale (VERDICT r3 item 4): sizes used to come from `count(*) over
+    (partition by simhash16)` — a window that shuffles EVERY row into
+    <= 65,536 partitions (~1.5e7 rows per task at 10^12 docs). Now
+    it's groupBy(simhash).count() (map-side combinable, result <= 2^16
+    rows — at 63 bits, ~#distinct-hashes rows, still << corpus) joined
+    back on the hash key; AQE elects a broadcast for the tiny size
+    table, and the big side is never range-sorted into hash buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", simhash_col(_toks()).alias("simhash16"))
+    sizes = base.groupBy("simhash16").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return base.join(sizes, "simhash16").select(
+        "doc_id", "simhash16", "cluster_size")
 
 
 # ---------------------------------------------------------------------------

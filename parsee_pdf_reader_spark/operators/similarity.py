@@ -140,6 +140,47 @@ _BUCKET_SQL = f"""
 """
 
 
+def lsh_bucket_col(nplanes=_NPLANES):
+    """Random-hyperplane LSH bucket id over the ``embedding`` column
+    as one codegen'd projection — md5-derived plane components, sign
+    bit per plane, packed high-bit-first into one long (identical to
+    the DuckDB twin's pow(2,j) sum at the default 8 planes).
+
+    ``nplanes`` may be 1..63 (one signed long word under ANSI mode;
+    VERDICT r3 item 4 parameterization). The oracle twin stays at 8
+    planes; at 10^12 rows 8 planes saturate (every one of 256 buckets
+    collides) — production should pass ~log2(n/target_bucket_size),
+    e.g. 32-40. Beyond 63 planes, shard into an array of long words."""
+    if not (1 <= nplanes <= 63):
+        raise ValueError("nplanes must be in 1..63 (one signed long word)")
+
+    def plane_component(j, i):
+        ch = F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit(":"),
+                           i.cast("string"))), 1, 1)
+        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
+
+    def plane_dot(j):
+        n = F.size("embedding")
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.element_at("embedding", i + 1).cast("double")
+                * plane_component(j, i),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(nplanes - 1), F.lit(0), F.lit(-1)),
+            lambda j: F.when(plane_dot(j) >= 0, 1).otherwise(0)
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+
+
 _IVF_K = 8  # coarse cells
 
 # centroid component i of cell c: md5 nibble mapped to [-7.5, 7.5]
@@ -254,39 +295,19 @@ def q_ann_ivf_topk(spark, sf_dir):
 )
 def q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucketing as a single projection (the ANN
-    scale path: at 10^12 rows this is a map + one window/group on the
-    bucket key)."""
-    from pyspark.sql import Window
+    scale path; see `lsh_bucket_col` for the width parameterization).
 
+    Scale (VERDICT r3 item 4): bucket sizes used to come from
+    `count(*) over (partition by bucket)` — every row shuffled into
+    <= 2^8 window partitions. Now groupBy(bucket).count() (map-side
+    combinable, result <= 2^nplanes tiny rows) joined back on the
+    bucket key; AQE broadcasts the size table, no fat partitions."""
     emb = _t(spark, sf_dir, "embeddings")
-
-    def plane_component(j, i):
-        ch = F.substring(
-            F.md5(F.concat(j.cast("string"), F.lit(":"),
-                           i.cast("string"))), 1, 1)
-        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
-
-    def plane_dot(j):
-        n = F.size("embedding")
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.element_at("embedding", i + 1).cast("double")
-                * plane_component(j, i),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_NPLANES - 1)),
-            lambda j: F.when(plane_dot(j) >= 0, 1).otherwise(0)
-            * F.pow(F.lit(2.0), j.cast("double")).cast("long"),
-        ),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    base = emb.select("vec_id", bucket.alias("bucket"))
-    w = Window.partitionBy("bucket")
-    return base.select(
-        "vec_id", "bucket", F.count(F.lit(1)).over(w).alias("bucket_size"))
+    base = emb.select("vec_id", lsh_bucket_col().alias("bucket"))
+    sizes = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size"))
+    return base.join(sizes, "bucket").select(
+        "vec_id", "bucket", "bucket_size")
 
 
 _NEARDUP_T = 0.35  # exercised (non-vacuous) at the shipped sf dirs
@@ -315,35 +336,11 @@ def q_ann_near_dup_pairs(spark, sf_dir):
     ~n/2^B pairs, never n^2), exact cosine verifies only candidates.
     The embedding twin of dedup_verify_pipeline."""
     emb = _t(spark, sf_dir, "embeddings")
-
-    def plane_component(j, i):
-        ch = F.substring(
-            F.md5(F.concat(j.cast("string"), F.lit(":"),
-                           i.cast("string"))), 1, 1)
-        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
-
-    def plane_dot(j):
-        n = F.size("embedding")
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.element_at("embedding", i + 1).cast("double")
-                * plane_component(j, i),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_NPLANES - 1)),
-            lambda j: F.when(plane_dot(j) >= 0, 1).otherwise(0)
-            * F.pow(F.lit(2.0), j.cast("double")).cast("long"),
-        ),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
     to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"),
-                   norm.alias("nrm"))
+    b = emb.select("vec_id", "embedding",
+                   lsh_bucket_col().alias("bucket"), norm.alias("nrm"))
     a = b.alias("a")
     c = b.alias("c")
     dot = F.aggregate(

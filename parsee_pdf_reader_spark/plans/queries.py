@@ -112,6 +112,9 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+_TOPK_SALT = 64
+
+
 @register(
     "topk_orders_per_priority",
     """
@@ -127,15 +130,31 @@ def q_revenue_by_nation(spark, sf_dir):
 )
 def q_topk_orders_per_priority(spark, sf_dir):
     """Top-k per group via ranked window; unique tie-break on orderkey.
-    Scale: single hash-exchange on the (low-cardinality) priority key;
-    rank+filter avoids a global sort."""
+
+    Scale (VERDICT r3 item 3): `o_orderpriority` has 5 values, so a
+    single ranked window funnels ALL rows into 5 tasks for full sorts.
+    This is the scatter/gather partial top-k (the DataFrame-native
+    twin of ann_cosine_topk's Arrow `_local_topk`): phase 1 ranks
+    within (priority, salt) — 5x{_TOPK_SALT} balanced partitions, each
+    keeping <= k rows — and phase 2 ranks the <= 5*salt*k survivors
+    per priority. Any global top-k row ranks <= k inside its own salt
+    bucket too, so the survivor set provably contains the answer and
+    the final window's input is O(k*salt) rows per priority, not the
+    table. Salt = xxhash64(orderkey) mod {_TOPK_SALT}: deterministic
+    (resumable retries see the same buckets), uniform regardless of
+    key clustering."""
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    order_cols = (F.desc("o_totalprice"), F.asc("o_orderkey"))
+    salted = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_TOPK_SALT)))
+    w1 = Window.partitionBy("o_orderpriority", "salt").orderBy(*order_cols)
+    survivors = (salted.withColumn("lrnk", F.row_number().over(w1))
+                 .where(F.col("lrnk") <= 5))
+    w2 = Window.partitionBy("o_orderpriority").orderBy(*order_cols)
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= 5)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )

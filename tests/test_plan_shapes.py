@@ -1,0 +1,189 @@
+"""Plan-shape regression tests for the VERDICT-r3 scale fixes.
+
+Each of these queries was hash-green in round 3 but carried a plan
+that would not survive 100x data (ordered windows over low-cardinality
+keys, a broadcast of an unbounded vocabulary). The fixes must keep the
+oracle answers bit-identical (covered by tests/test_oracles.py and the
+driver gate) — these tests pin the PLAN so the hazards cannot
+silently return.
+"""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _optimized(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _physical(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantiles_window_reads_aggregated_relation(spark):
+    """VERDICT r3 item 1: the ordered per-lang window must run over
+    the groupBy(lang, n_chars) histogram, never over `documents`
+    itself (one task sorting a whole language at 10^12 rows). In the
+    optimized plan the Window node's subtree therefore contains an
+    Aggregate keyed on (lang, n_chars) BELOW it (trees print
+    parents first)."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_corpus_length_quantiles,
+    )
+
+    plan = _optimized(q_corpus_length_quantiles(spark, SF))
+    win = plan.index("Window")
+    agg = re.search(r"Aggregate \[lang[^\]]*, n_chars[^\]]*\]", plan)
+    assert agg is not None, plan
+    assert win < agg.start(), plan
+
+
+def test_quantiles_matches_per_document_ranking(spark):
+    """The histogram read-off must equal the per-document discrete
+    quantile (value at position ceil(p*n) in (n_chars, doc_id) order),
+    including tie-heavy histograms."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_corpus_length_quantiles,
+    )
+
+    got = {r.lang: r for r in
+           q_corpus_length_quantiles(spark, SF).collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    q = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("long"),
+               F.col("n_chars")))
+    want = {r.lang: r for r in ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        q(F.lit(0.5)).alias("p50_chars"),
+        q(F.lit(0.9)).alias("p90_chars")).collect()}
+
+    assert set(got) == set(want)
+    for lang in want:
+        for f in ("n_docs", "total_chars", "p50_chars", "p90_chars"):
+            assert getattr(got[lang], f) == getattr(want[lang], f), (
+                lang, f, got[lang], want[lang])
+
+
+def test_tfidf_does_not_broadcast_vocabulary(spark):
+    """VERDICT r3 item 2: the document-frequency table is the token
+    VOCABULARY — billions of rows over web text — and must reach the
+    tf join through a shuffle, never a BroadcastExchange (driver OOM
+    at scale). The shuffle_hash hint also has to survive AQE's
+    broadcast re-election, so check the executed plan."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_tfidf_top_terms,
+    )
+
+    plan = _physical(q_tfidf_top_terms(spark, SF))
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_topk_prereduces_before_priority_window(spark):
+    """VERDICT r3 item 3: o_orderpriority has 5 values; the final
+    ranked window may only ever see the <= 5*salt*k survivors of the
+    salted phase-1 window. The optimized plan therefore carries TWO
+    Window nodes, the lower one partitioned by (priority, salt)."""
+    from parsee_pdf_reader_spark.plans.queries import (
+        q_topk_orders_per_priority,
+    )
+
+    plan = _optimized(q_topk_orders_per_priority(spark, SF))
+    wins = [m.start() for m in re.finditer(r"Window \[", plan)]
+    assert len(wins) == 2, plan
+    # the second (deeper) window is the salted one
+    lower = plan[wins[1]:]
+    assert "salt" in lower.split("\n")[0], plan
+
+
+def _no_fat_window(plan):
+    assert "Window" not in plan, plan
+    assert re.search(r"Aggregate \[(simhash16|bucket)", plan), plan
+
+
+def test_simhash_sizes_via_agg_join_not_window(spark):
+    """VERDICT r3 item 4: cluster sizes must come from
+    groupBy(simhash).count() + join back — a window partitioned by a
+    16-bit key shuffles every row into <= 65,536 partitions."""
+    from parsee_pdf_reader_spark.operators.dedup import q_dedup_simhash
+
+    _no_fat_window(_optimized(q_dedup_simhash(spark, SF)))
+
+
+def test_lsh_bucket_sizes_via_agg_join_not_window(spark):
+    from parsee_pdf_reader_spark.operators.similarity import (
+        q_ann_lsh_buckets,
+    )
+
+    _no_fat_window(_optimized(q_ann_lsh_buckets(spark, SF)))
+
+
+def test_simhash_width_parameterized(spark):
+    """simhash_col(nbits) widens past the saturated 16-bit oracle twin
+    without overflow: 63-bit hashes stay non-negative (< 2^63),
+    identical texts collide, the 16-bit prefix relationship holds
+    (bit i of the 63-bit hash equals bit i of the 16-bit hash — same
+    md5-nibble stream), and out-of-range widths are rejected."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _toks, simhash_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    rows = docs.select(
+        "doc_id",
+        simhash_col(_toks(), 16).alias("h16"),
+        simhash_col(_toks(), 63).alias("h63")).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].h63 == by_id[1].h63
+    assert by_id[0].h63 != by_id[2].h63
+    for r in rows:
+        assert 0 <= r.h63 < (1 << 63)
+        assert r.h63 & 0xFFFF == r.h16  # shared low-bit stream
+    with pytest.raises(ValueError):
+        simhash_col(_toks(), 64)
+    with pytest.raises(ValueError):
+        simhash_col(_toks(), 0)
+
+
+def test_lsh_planes_parameterized(spark):
+    """lsh_bucket_col(nplanes) widens past the 8-plane oracle twin:
+    40-plane buckets keep the 8-plane low bits (same plane stream),
+    stay in [0, 2^40), and invalid widths raise."""
+    import pytest
+
+    from parsee_pdf_reader_spark.operators.similarity import (
+        lsh_bucket_col,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    rows = emb.select(
+        lsh_bucket_col(8).alias("b8"),
+        lsh_bucket_col(40).alias("b40")).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.b40 < (1 << 40)
+        assert r.b40 & 0xFF == r.b8
+    with pytest.raises(ValueError):
+        lsh_bucket_col(0)
+    with pytest.raises(ValueError):
+        lsh_bucket_col(64)
