@@ -133,9 +133,39 @@ class CheckpointedExtraction:
                     v = unquote(name[len(prefix):])
                     if v != "__HIVE_DEFAULT_PARTITION__":
                         vals.append(v)
-            return vals or None
+            if not vals:
+                return None
+            return self._normalize_partition_values(col, vals)
         except Exception:
             return None
+
+    def _normalize_partition_values(
+            self, col: str, vals: List[str]) -> Optional[List[str]]:
+        """Raw ``col=value`` dir strings -> the canonical strings
+        ``run()``'s ``cast(expr as string)`` filter will actually see.
+
+        ADVICE r3: Spark type-infers hive partition columns, so a
+        non-canonical dir value (``p=007`` -> int 7 -> '7', ``p=1.50``
+        -> '1.5') never matches its own raw dir string — the partition
+        would write zero rows yet be ledgered 'done'. Round-trip every
+        listed value through the column type Spark actually inferred
+        for this input (driver-side, a handful of rows — no executor
+        scan of the data). Distinct dirs can collapse to one canonical
+        value (p=7 and p=007): dedupe, preserving order."""
+        dtype = self.spark.read.parquet(self.input_path).schema[col].dataType
+        one_col = self.spark.createDataFrame(
+            [(v,) for v in vals], "v string")
+        canon = [
+            r.c for r in one_col.select(
+                F.col("v").cast(dtype).cast("string").alias("c")).collect()
+        ]
+        out: List[str] = []
+        seen = set()
+        for c in canon:
+            if c is not None and c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out or None
 
     def run(self, max_partitions: Optional[int] = None) -> List[str]:
         """Process pending partitions; returns the list processed."""

@@ -120,10 +120,13 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
         (x1 OVERRIDDEN by the paren's, matching pdf_page.py:168-171).
         A stray ``)`` with no preceding run emits nothing, exactly
         like the reference's empty-accumulator flush. Falls back to
-        the per-char loop if any cell text is not exactly one char
-        (multi-char expansions)."""
+        the per-char loop unless EVERY cell text is exactly one char:
+        a total-length match alone can hold coincidentally when cell
+        lengths differ but sum to the cell count (e.g. one empty cell
+        plus one 2-char cell), which would map regex run indices onto
+        the wrong coordinate slices (ADVICE r3)."""
         n = len(text)
-        if n != len(lt):
+        if n != len(lt) or any(len(t) != 1 for t in lt):
             _fast_line_chars(lt, lx0, lx1, ly0, ly1, lb)
             return
         for m in _RUN_RE.finditer(text):

@@ -1548,10 +1548,13 @@ class TextInterpreter:
             by0 = m3 * dsc + rise * r3
             bx1 = m2 * (dsc + 1.0) + rise * r2
             by1 = m3 * (dsc + 1.0) + rise * r3
-            # rotated/skewed text (b or c of the effective matrix
-            # nonzero): the min/max of two opposite corners is NOT the
-            # bounding box — bound all four (constant per run)
-            rotated = (r1 != 0.0) or (r2 != 0.0)
+            # rotated/skewed text: pdfminer 20221105 (the engine the
+            # reference pins, layout.py LTChar) boxes a glyph by
+            # min/max of the TWO transformed opposite corners only —
+            # exact for axis-aligned rotations (0/90/180/270), a
+            # deliberate under-bound for skew (e.g. 45 deg). We mirror
+            # it for byte-identity (ADVICE r3: a 4-corner bound here
+            # diverged from the reference on skewed Tm/cm).
             bold = font.bold
             comp = font.composite
             total = 0.0
@@ -1567,25 +1570,6 @@ class TextInterpreter:
                 else:
                     x1 = bx1 + r4
                     y1 = by1 + r5
-                if rotated:
-                    # remaining two corners: (u, dsc) and (0, dsc+1)
-                    ax = (r0 * adv if fs else 0.0) + bx0 + r4
-                    ay = (r1 * adv if fs else 0.0) + by0 + r5
-                    bx = bx1 + r4
-                    by_ = by1 + r5
-                    lo_x = min(x0, x1, ax, bx)
-                    hi_x = max(x0, x1, ax, bx)
-                    lo_y = min(y0, y1, ay, by_)
-                    hi_y = max(y0, y1, ay, by_)
-                    if uni and uni != "\x00":
-                        append(Char(
-                            round(lo_x, 3), round(hi_x, 3),
-                            round(lo_y, 3), round(hi_y, 3),
-                            round(hi_y - lo_y, 3), bold, uni[0]))
-                    r4 += adv * r0
-                    r5 += adv * r1
-                    total += adv
-                    continue
                 lo_x, hi_x = (x0, x1) if x0 <= x1 else (x1, x0)
                 lo_y, hi_y = (y0, y1) if y0 <= y1 else (y1, y0)
                 if uni and uni != "\x00":

@@ -588,7 +588,12 @@ def _pdf_escape(s: str) -> str:
 def _lzw_encode(data: bytes) -> bytes:
     """PDF LZWDecode writer (EarlyChange=1). The encoder's entry
     counter runs one ahead of a decoder's, so it widens codes at 512
-    where decoders widen at 511."""
+    where decoders widen at 511. When the dictionary fills (next_code
+    reaches 4096 — 12-bit code space exhausted), a CLEAR(256) is
+    emitted at the current width and the table/width reset, mirroring
+    the decoder's clear handling; without it, payloads past ~3.8 KB of
+    fresh entries would pack 13-bit codes into 12-bit fields and
+    corrupt the stream (ADVICE r3)."""
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
     bits = 9
@@ -602,7 +607,12 @@ def _lzw_encode(data: bytes) -> bytes:
         codes.append((table[w], bits))
         table[wc] = next_code
         next_code += 1
-        if next_code >= (1 << bits) and bits < 12:
+        if next_code >= 4096:
+            codes.append((256, 12))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bits = 9
+        elif next_code >= (1 << bits) and bits < 12:
             bits += 1
         w = bytes([ch])
     if w:

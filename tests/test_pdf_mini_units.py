@@ -75,13 +75,7 @@ def test_matrix_composition():
     assert m == (2, 0, 0, 3, 20, 60)
 
 
-def test_rotated_text_bbox_bounds_all_corners():
-    """90-degree-rotated text (Tm rotation): each glyph's bbox must
-    bound all four transformed corners — vertical extent spans the
-    advance, horizontal extent spans the glyph height."""
-    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
-
-    content = ("BT /F1 10 Tf 0 1 -1 0 300 100 Tm (AB) Tj ET")
+def _one_font_pdf(content: str) -> bytes:
     objs = [
         b"<</Type/Catalog/Pages 2 0 R>>",
         b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
@@ -103,9 +97,23 @@ def test_rotated_text_bbox_bounds_all_corners():
         out += f"{off:010d} 00000 n \n".encode()
     out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
 
-    pages = parse_pdf_mini(bytes(out), group=False)
-    chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
+
+def _pdf_chars(pdf: bytes):
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    pages = parse_pdf_mini(pdf, group=False)
+    return [c for b in pages[0].boxes for ln in b.lines for c in ln]
+
+
+def test_rotated_text_bbox_two_corner_pdfminer():
+    """90-degree-rotated text (Tm rotation): pdfminer 20221105 boxes a
+    glyph by min/max of the two transformed opposite corners, which at
+    axis-aligned rotations IS the bounding box — vertical extent spans
+    the advance, horizontal extent spans the glyph height."""
+    chars = _pdf_chars(
+        _one_font_pdf("BT /F1 10 Tf 0 1 -1 0 300 100 Tm (AB) Tj ET"))
     assert [c.text for c in chars] == ["A", "B"]
     a = chars[0]
     # rotation 90°: advance runs along +y, glyph box along -x
@@ -113,6 +121,20 @@ def test_rotated_text_bbox_bounds_all_corners():
     assert a.x1 - a.x0 >= 9.9   # glyph height (1em + descent) in x
     # second glyph stacked above the first
     assert chars[1].y0 > a.y0
+
+
+def test_skewed_text_bbox_matches_pdfminer_two_corners():
+    """45-degree skew (ADVICE r3): pdfminer's two-corner box is a
+    deliberate under-bound there, and byte-identity with the reference
+    requires mirroring it. With Tm=(1,1,-1,1,e,f) the two corners are
+    x = e - v0 and x = e - v0 + (adv - fs): the descent term cancels
+    and the width is exactly |adv - fs| = |0.5*10 - 10| = 5 — a
+    4-corner bound would give adv + fs = 15."""
+    chars = _pdf_chars(
+        _one_font_pdf("BT /F1 10 Tf 1 1 -1 1 300 100 Tm (A) Tj ET"))
+    assert [c.text for c in chars] == ["A"]
+    a = chars[0]
+    assert abs((a.x1 - a.x0) - 5.0) < 1e-6, (a.x0, a.x1)
 
 
 def test_type3_fontmatrix_width_scaling():

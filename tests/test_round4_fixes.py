@@ -1,0 +1,146 @@
+"""Round-4 regression tests: ADVICE-r3 defects + VERDICT-r3 item 6
+(connected-components observe probe + large-star/small-star)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 (medium): LZW encoder must CLEAR at the 12-bit boundary
+# ---------------------------------------------------------------------------
+
+def test_lzw_roundtrip_past_12bit_boundary():
+    """High-entropy payloads mint a fresh dictionary entry almost every
+    step; past ~3.8K entries the encoder used to pack 13-bit codes into
+    12-bit fields (silent corruption, 'bad LZW code' on decode). With
+    the CLEAR(256)/reset at next_code=4096, arbitrarily large payloads
+    round-trip. 30 KB of seeded random bytes crosses the boundary
+    several times over."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import _lzw_decode
+    from parsee_pdf_reader_spark.sources.synth import _lzw_encode
+
+    rng = random.Random(7)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    assert _lzw_decode(_lzw_encode(data)) == data
+    # compressible payload that still overflows the dictionary
+    data2 = b"".join(bytes([i % 251, (i * 7) % 253]) for i in range(20000))
+    assert _lzw_decode(_lzw_encode(data2)) == data2
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 (low): fast_line must fall back on any multi-char cell
+# ---------------------------------------------------------------------------
+
+def test_fast_line_multichar_cells_fall_back():
+    """Cells ['a ', '', 'c'] join to a 3-char line over 3 cells, so the
+    old total-length guard let the regex fast path run — splitting on
+    the embedded space and mis-slicing coordinates. The reference
+    treats each layout char as an atomic unit ('a ' is not a flush
+    char, pdf_page.py:135-151), so the whole line is ONE token 'a c'
+    spanning all three cells."""
+    from parsee_pdf_reader_spark.kernel.engine import tokenize
+    from parsee_pdf_reader_spark.sources import layout_codec as codec
+
+    line = [
+        codec.Char(0, 5, 700, 710, 10.0, False, "a "),
+        codec.Char(50, 60, 700, 710, 10.0, False, ""),
+        codec.Char(100, 110, 700, 710, 10.0, False, "c"),
+    ]
+    toks, _ = tokenize([("box", [line])], 1)
+    assert [t.text for t in toks] == ["a c"]
+    assert toks[0].x0 == 0 and toks[0].x1 == 110
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 (low): hive partition dirs with non-canonical values
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_hive_noncanonical_partition_dirs(spark, tmp_path):
+    """Dirs p=007 / p=8: Spark infers p as int, so run()'s
+    cast(p as string) filter sees '7', never the raw '007'. The file-
+    index fast path must normalize listed values through the inferred
+    type, or the 007 partition writes zero rows yet gets ledgered
+    'done'."""
+    from parsee_pdf_reader_spark.checkpoint import CheckpointedExtraction
+    from parsee_pdf_reader_spark.sources.synth import synthesize_pages_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(8)
+    pages = synthesize_pages_df(spark, docs)
+    inp = os.path.join(str(tmp_path), "pages")
+    outp = os.path.join(str(tmp_path), "extracted")
+    pages.limit(4).write.parquet(os.path.join(inp, "p=007"))
+    pages.orderBy(F.desc("url")).limit(4).write.parquet(
+        os.path.join(inp, "p=8"))
+
+    ck = CheckpointedExtraction(spark, inp, outp, run_id="t1",
+                                partition_expr="p")
+    parts = ck.pending_partitions()
+    assert parts == ["7", "8"], parts
+    done = ck.run()
+    assert sorted(done) == ["7", "8"]
+    prog = spark.read.parquet(os.path.join(outp, "_progress"))
+    by_part = {r.part: r for r in prog.collect()}
+    assert by_part["7"].rows_in == 4 and by_part["7"].rows_out >= 4
+    assert by_part["8"].rows_in == 4 and by_part["8"].rows_out >= 4
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 item 6: CC probe folded into the round; star variant
+# ---------------------------------------------------------------------------
+
+def _chain_pairs(spark, n=16):
+    """Path graph 0-1-...-n-1: the adversarial case for label_prop
+    (diameter = n-1 -> ~n rounds) and the motivating case for
+    large-star/small-star (~log n rounds)."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+
+
+def test_cc_star_matches_label_prop_on_chain(spark):
+    from parsee_pdf_reader_spark.operators.dedup import (
+        connected_components_df,
+    )
+
+    lp_stats, st_stats = {}, {}
+    lp = connected_components_df(
+        _chain_pairs(spark), stats=lp_stats).collect()
+    st = connected_components_df(
+        _chain_pairs(spark), algorithm="star", stats=st_stats).collect()
+    as_map = lambda rows: {  # noqa: E731
+        r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
+    assert as_map(lp) == as_map(st)
+    assert all(r.cluster_id == 0 and r.cluster_size == 16 for r in lp)
+    # the whole point of the star variant: sublinear rounds on chains
+    assert st_stats["rounds"] < lp_stats["rounds"], (st_stats, lp_stats)
+    assert st_stats["rounds"] <= 6, st_stats
+
+
+def test_cc_label_prop_one_action_per_round(spark):
+    """VERDICT r3 item 6 'done' criterion: the convergence probe rides
+    the round's own eager localCheckpoint (an Observation fires inside
+    the materializing action), so the loop submits exactly ONE SQL
+    execution per round — no separate labels-vs-labels probe
+    join/count. (Job counts are the wrong probe under AQE, which
+    submits one job per query stage within a single action.)"""
+    import time
+
+    from parsee_pdf_reader_spark.operators.dedup import (
+        connected_components_df,
+    )
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    stats = {}
+    connected_components_df(_chain_pairs(spark, 6), stats=stats)
+    for _ in range(20):  # the status store updates asynchronously
+        if store.executionsCount() - before >= stats["rounds"]:
+            break
+        time.sleep(0.25)
+    assert store.executionsCount() - before == stats["rounds"], (
+        store.executionsCount() - before, stats)
