@@ -20,6 +20,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from parsee_pdf_reader_spark.sources.afm14 import (
+    text_width as _afm_text_width,
+)
 from parsee_pdf_reader_spark.sources.layout_codec import (
     Box,
     Char,
@@ -573,7 +576,6 @@ def synthesize_pages_df(spark, docs_df, seed: int = 42,
 # synthetic REAL-PDF corpus (raw %PDF bytes through sources/pdf_mini.py)
 # ---------------------------------------------------------------------------
 
-_PDF_CHAR_W = 0.5  # missing-width fallback: 500/1000 em (pdf_mini)
 
 
 def _pdf_escape(s: str) -> str:
@@ -692,7 +694,6 @@ def build_pdf_document(key: str, seed: int = 42,
     n_pages = int(rng.integers(1, 3))
     width, height = 612.0, 792.0
     size = 10.0
-    cw = _PDF_CHAR_W * size
 
     page_ops: List[str] = []
     for _p in range(n_pages):
@@ -709,7 +710,13 @@ def build_pdf_document(key: str, seed: int = 42,
                     ops.append(f"({_pdf_escape(cap)}) Tj")
                     for right in rights:
                         num = _format_number(rng)
-                        x = right - len(num) * cw
+                        # right-align with the REAL Helvetica AFM
+                        # advances (pdf_mini applies std-14 metrics
+                        # since VERDICT r3 item 5): alignment computed
+                        # with the old 0.5em flat width would drift by
+                        # token length once extraction uses true x1s
+                        x = right - _afm_text_width(
+                            "Helvetica", num) * size / 1000.0
                         ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
                         ops.append(f"({_pdf_escape(num)}) Tj")
                     y -= 14.0

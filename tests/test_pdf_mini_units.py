@@ -128,13 +128,70 @@ def test_skewed_text_bbox_matches_pdfminer_two_corners():
     deliberate under-bound there, and byte-identity with the reference
     requires mirroring it. With Tm=(1,1,-1,1,e,f) the two corners are
     x = e - v0 and x = e - v0 + (adv - fs): the descent term cancels
-    and the width is exactly |adv - fs| = |0.5*10 - 10| = 5 — a
-    4-corner bound would give adv + fs = 15."""
+    and the width is exactly |adv - fs| = |0.667*10 - 10| = 3.33 (the
+    AFM Helvetica 'A' advance) — a 4-corner bound would give
+    adv + fs = 16.67."""
     chars = _pdf_chars(
         _one_font_pdf("BT /F1 10 Tf 1 1 -1 1 300 100 Tm (A) Tj ET"))
     assert [c.text for c in chars] == ["A"]
     a = chars[0]
-    assert abs((a.x1 - a.x0) - 5.0) < 1e-6, (a.x0, a.x1)
+    assert abs((a.x1 - a.x0) - 3.33) < 0.01, (a.x0, a.x1)
+
+
+def test_std14_helvetica_afm_advances_no_widths_array():
+    """VERDICT r3 item 5: a non-embedded Helvetica font with NO
+    /Widths array must advance every glyph by the published Adobe AFM
+    metric (x1 - x0_of_next == 0), not a flat 500/1000em. Each glyph's
+    x-extent in an unrotated 10pt run is checked against the AFM table
+    directly."""
+    from parsee_pdf_reader_spark.sources.afm14 import STD14_WIDTHS
+
+    text = "Wealth 42%!"
+    chars = _pdf_chars(
+        _one_font_pdf(f"BT /F1 10 Tf 1 0 0 1 72 700 Tm ({text}) Tj ET"))
+    assert [c.text for c in chars] == list(text)
+    afm = STD14_WIDTHS["Helvetica"]
+    x = 72.0
+    for c in chars:
+        adv = afm[c.text] * 10 / 1000.0
+        assert abs(c.x0 - x) < 5e-3, (c.text, c.x0, x)
+        assert abs(c.x1 - (x + adv)) < 5e-3, (c.text, c.x1, x + adv)
+        x += adv
+
+
+def test_std14_overrides_widths_array_like_pdfminer():
+    """pdfminer consults the metrics DB BEFORE /Widths for an exact
+    standard-14 BaseFont — a PDF that declares Helvetica WITH a bogus
+    /Widths array still gets AFM advances."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import parse_pdf_mini
+
+    content = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (AB) Tj ET"
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        (b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+         b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>"),
+        (f"<</Length {len(content)}>>\nstream\n{content}\nendstream"
+         ).encode(),
+        (b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+         b"/FirstChar 65/LastChar 66/Widths[100 100]>>"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<</Size {len(objs) + 1}/Root 1 0 R>>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    pages = parse_pdf_mini(bytes(out), group=False)
+    chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
+    # AFM 'A' = 667, so 'B' starts at 72 + 6.67 — not 72 + 1.0
+    assert abs(chars[1].x0 - 78.67) < 5e-3, chars[1].x0
 
 
 def test_type3_fontmatrix_width_scaling():
