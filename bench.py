@@ -2,12 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>,
-   "docs_per_sec": <extraction throughput>, ...}
+   "queries": {...per-query sec...}, "spread": {...per-query rel...},
+   "sf": <sf>, "docs_per_sec": <extraction throughput>, ...}
 
 The flagship extraction is measured over a pages corpus synthesized
 from the documents table and materialized to parquet first, so the
 timed section is scan -> Arrow kernel -> count (the production shape).
+
+Every timed item runs SPARK_GRAFT_BENCH_REPS (default 3) passes over
+the warm corpus and reports the MEDIAN, with the relative spread
+(max-min)/median alongside (VERDICT r3 item 7: this host swings ±35%
+between identical runs, so single-shot round-over-round deltas chased
+box noise).
+
 Set SPARK_GRAFT_BENCH_SCALING=1 to also run the two-parallelism scaling
 probe (local[8] vs local[32]) and include efficiency in the line.
 """
@@ -17,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -115,6 +123,18 @@ def time_extraction(spark, corpus_dir: str, subset_mod: int = 0) -> tuple:
     return dt, n_docs
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _median_runs(fn):
+    """Run fn() REPS times; returns (median_sec, rel_spread) where fn
+    returns elapsed seconds."""
+    ts = [fn() for _ in range(REPS)]
+    med = statistics.median(ts)
+    spread = round((max(ts) - min(ts)) / med, 3) if med else 0.0
+    return med, spread
+
+
 def main():
     from parsee_pdf_reader_spark.session import get_spark
     from parsee_pdf_reader_spark.plans.queries import REGISTRY
@@ -134,6 +154,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = {}
+    spreads = {}
 
     t0 = time.time()
     n_docs = build_corpus(spark, SF_DIR, corpus_dir)
@@ -146,7 +167,8 @@ def main():
     os.sync()
     time_extraction(spark, corpus_dir, subset_mod=16)
 
-    t_ex, _ = time_extraction(spark, corpus_dir)
+    t_ex, spreads["extract_pages"] = _median_runs(
+        lambda: time_extraction(spark, corpus_dir)[0])
     timings["extract_pages"] = round(t_ex, 3)
     docs_per_sec = round(n_docs / t_ex, 2)
 
@@ -156,21 +178,28 @@ def main():
     n_pdf = build_pdf_corpus(spark, SF_DIR, pdf_dir)
     timings["synthesize_pdf_corpus"] = round(time.time() - t0, 3)
     os.sync()
-    t_pdf, _ = time_extraction(spark, pdf_dir)
+    t_pdf, spreads["extract_pdf_pages"] = _median_runs(
+        lambda: time_extraction(spark, pdf_dir)[0])
     timings["extract_pdf_pages"] = round(t_pdf, 3)
     pdf_docs_per_sec = round(n_pdf / t_pdf, 2)
 
-    for name, (fn, _sql) in REGISTRY.items():
+    def _run_query(fn):
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    for name, (fn, _sql) in REGISTRY.items():
+        med, spreads[name] = _median_runs(lambda f=fn: _run_query(f))
+        timings[name] = round(med, 3)
 
     result = {
         "metric": "docs/sec extraction + headline query wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "reps": REPS,
         "sf": sf,
         "docs": n_docs,
         "docs_per_sec": docs_per_sec,
