@@ -171,6 +171,47 @@ def minhash_pairs_df(docs, id_col: str = "doc_id",
     ).distinct()
 
 
+def minhash_band_hashes(text_col: str = "text"):
+    """Array-of-structs column ``[(b, band_hash)] * _BANDS`` for a text
+    column — the SAME shingle->minhash->band arithmetic as
+    ``minhash_pairs_df`` (kept in one place so the streaming twin and
+    the batch LSH can never drift). Used by
+    ``streaming.incremental.stream_dedup_neardup``."""
+    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+    shingles = F.when(
+        F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("b"),
+            F.md5(
+                F.concat(
+                    b.cast("string"), F.lit("|"),
+                    F.concat_ws(
+                        "|", F.slice(sig, b * _BAND_R + 1, _BAND_R)),
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
 @register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Shingle -> minhash -> band -> bucket-join near-dup candidates.

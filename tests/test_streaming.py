@@ -136,3 +136,56 @@ def test_stream_dedup_exact(spark, tmp_path):
     # exactly one copy of the replayed content survived
     assert got.where("text = 'alpha body text'").count() == 1
     assert got.count() == 3
+
+
+def test_stream_dedup_neardup(spark, tmp_path):
+    """VERDICT r3 item 8: streaming MinHash near-dup. Batch 2 carries
+    a NEAR-duplicate of a batch-1 doc (one trailing word changed —
+    shares exactly 1 of 3 LSH bands, verified by the same md5
+    arithmetic) plus a genuinely new doc; the near-dup must drop, the
+    new doc survive. A far-future sentinel batch pushes the watermark
+    so the append-mode windows finalize into the file sink."""
+    import datetime
+    import os
+
+    from parsee_pdf_reader_spark.streaming.incremental import (
+        run_stream_neardup,
+    )
+
+    inp = os.path.join(str(tmp_path), "docs_stream")
+    outp = os.path.join(str(tmp_path), "neardup")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(inp)
+    t0 = datetime.datetime(2025, 6, 1, 10, 0, 0)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank tonight")
+    other = ("completely different content about quarterly revenue "
+             "and operating expenses growth")
+    fresh = ("annual shareholder meeting scheduled for june with "
+             "board election and audit review")
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    b1 = [(1, t0, base, "en"), (2, mins(1), other, "en")]
+    b2 = [(3, mins(2), near, "en"), (4, mins(3), fresh, "en")]
+    # sentinel 3h later: watermark (1h) passes the 5-min windows above
+    b3 = [(99, t0 + datetime.timedelta(hours=3), "late sentinel", "en")]
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    # one file per micro-batch: batches must arrive in order for the
+    # cross-batch first-wins semantics to be the thing under test
+    q = run_stream_neardup(spark, inp, outp, ck,
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = spark.read.parquet(outp)
+    kept = {r.doc_id for r in got.collect()}
+    assert 1 in kept and 2 in kept and 4 in kept, kept
+    assert 3 not in kept, kept       # cross-batch near-dup dropped
+    assert 99 not in kept, kept      # sentinel window still open
