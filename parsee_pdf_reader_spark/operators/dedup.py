@@ -227,9 +227,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 _CC_MAX_ITERS = 25
 
 
-@register(
-    "dedup_clusters",
-    f"""
+_CC_SQL = f"""
     with recursive pairs as ({_MINHASH_PAIRS_SQL}),
     edges as (
       select doc_a as src, doc_b as dst from pairs
@@ -250,8 +248,10 @@ _CC_MAX_ITERS = 25
     select doc_id, cluster_id,
            count(*) over (partition by cluster_id) as cluster_size
     from lbl
-    """,
-)
+"""
+
+
+@register("dedup_clusters", _CC_SQL)
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dedup closure: A~B and B~C must land in ONE cluster
     even when A~C never surfaced as an LSH pair — the step a real
@@ -273,6 +273,18 @@ def q_dedup_clusters(spark, sf_dir):
     cluster_size), for every doc that appears in at least one pair."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components_df(pairs)
+
+
+@register("dedup_clusters_star", _CC_SQL)
+def q_dedup_clusters_star(spark, sf_dir):
+    """The large-star/small-star variant of `dedup_clusters`, gated
+    against the SAME recursive-CTE oracle — connected-component labels
+    are algorithm-independent, so a hash match here proves the star
+    contraction end-to-end on real candidate pairs, not just the
+    crafted chain test. See `connected_components_df` for the
+    O(log^2 n)-rounds scale rationale."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_df(pairs, algorithm="star")
 
 
 def connected_components_df(pairs, algorithm="label_prop", stats=None):
