@@ -214,6 +214,10 @@ def main():
         # cores; 8->32 additionally spans SMT threads (a raw
         # multiprocessing control shows the hardware itself tops out at
         # ~0.53 efficiency over that span — see BENCH/BASELINE.md).
+        # Best-of-REPS per level: the host throttles in multi-minute
+        # windows, and a throttled window hitting ONE leg skews the
+        # ratio both ways — best-of approximates the unthrottled
+        # capability at each level (same box, interleaved runs).
         scaling = {}
         subset_dir = corpus_dir + "_scaling_subset"
         for cores in (2, 8, 32):
@@ -224,14 +228,22 @@ def main():
             if cores == 2:  # materialize the probe slice once
                 from pyspark.sql import functions as F
 
-                (s.read.parquet(corpus_dir)
-                 .where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
-                 .repartition(64)
-                 .write.mode("overwrite").parquet(subset_dir))
-            # two timed runs per level, best-of (first run pays Python
-            # worker startup + page-cache warmup)
+                try:
+                    expected = (s.read.parquet(corpus_dir)
+                                .where(F.pmod(F.xxhash64("url"),
+                                              F.lit(4)) == 0).count())
+                    have = s.read.parquet(subset_dir).count()
+                    ok = have == expected
+                except Exception:
+                    ok = False
+                if not ok:
+                    (s.read.parquet(corpus_dir)
+                     .where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+                     .repartition(64)
+                     .write.mode("overwrite").parquet(subset_dir))
+            # first run pays Python worker startup + page-cache warmup
             best = None
-            for _rep in range(2):
+            for _rep in range(max(2, REPS)):
                 dt, n_sub = time_extraction(s, subset_dir)
                 thr = n_sub / dt
                 best = thr if best is None or thr > best else best
