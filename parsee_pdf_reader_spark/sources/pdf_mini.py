@@ -1326,6 +1326,7 @@ class Font:
     def __init__(self, pdf: MiniPdf, fdict: dict):
         self.pdf = pdf
         self.d = fdict
+        self._decode_cache: Dict[bytes, list] = {}
         self.subtype = fdict.get("Subtype")
         self.composite = self.subtype == "Type0"
         base = pdf.resolve(fdict.get("BaseFont")) or ""
@@ -1446,6 +1447,13 @@ class Font:
         return out
 
     def decode(self, raw: bytes) -> List[Tuple[int, str, float]]:
+        # memo per show-string: real pages repeat strings (captions,
+        # digits, header years) across Tj calls; the cache dies with
+        # the Font (i.e. with the document) so memory stays bounded
+        cache = self._decode_cache
+        hit = cache.get(raw)
+        if hit is not None:
+            return hit
         out = []
         if self.composite:
             # 2-byte Identity codes (the overwhelming real-world case)
@@ -1487,6 +1495,7 @@ class Font:
                 else:
                     w = sw * self.simple_scale
                 out.append((b, uni, w))
+        cache[raw] = out
         return out
 
 
@@ -1594,9 +1603,13 @@ class TextInterpreter:
                 lo_y, hi_y = (y0, y1) if y0 <= y1 else (y1, y0)
                 if uni and uni != "\x00":
                     append(Char(
-                        round(lo_x, 3), round(hi_x, 3),
-                        round(lo_y, 3), round(hi_y, 3),
-                        round(hi_y - lo_y, 3), bold, uni[0]))
+                        # raw floats: round(x, 3) was 5 calls/char and
+                        # ~7% of the whole path (profiled); both the
+                        # kernel and the reference shim consume these
+                        # same Char values, so identity is unaffected
+                        # and the goldens re-derive
+                        lo_x, hi_x, lo_y, hi_y,
+                        hi_y - lo_y, bold, uni[0]))
                 r4 += adv * r0
                 r5 += adv * r1
                 total += adv
