@@ -174,22 +174,27 @@ class _Plane:
         self._objs: set = set()
 
     def _getrange(self, bbox):
+        # returns a list (not a generator): add/find call this on the
+        # hot path and the generator resume overhead measured real
         x0, y0, x1, y1 = bbox
         if x1 <= self.x0 or self.x1 <= x0 \
                 or y1 <= self.y0 or self.y1 <= y0:
-            return
+            return ()
         x0 = max(self.x0, x0)
         y0 = max(self.y0, y0)
         x1 = min(self.x1, x1)
         y1 = min(self.y1, y1)
         gs = self.gridsize
-        for gy in range(int(y0) // gs, int(y1) // gs + 1):
-            for gx in range(int(x0) // gs, int(x1) // gs + 1):
-                yield (gx, gy)
+        xr = range(int(x0) // gs, int(x1) // gs + 1)
+        return [(gx, gy)
+                for gy in range(int(y0) // gs, int(y1) // gs + 1)
+                for gx in xr]
 
     def add(self, obj):
+        grid = self._grid
+        setd = grid.setdefault
         for k in self._getrange((obj.x0, obj.y0, obj.x1, obj.y1)):
-            self._grid.setdefault(k, []).append(obj)
+            setd(k, []).append(obj)
         self._seq.append(obj)
         self._objs.add(obj)
 
@@ -211,15 +216,20 @@ class _Plane:
     def find(self, bbox):
         x0, y0, x1, y1 = bbox
         done = set()
+        done_add = done.add
+        grid_get = self._grid.get
+        out = []
         for k in self._getrange(bbox):
-            for obj in self._grid.get(k, ()):
-                if id(obj) in done:
+            for obj in grid_get(k, ()):
+                i = id(obj)
+                if i in done:
                     continue
-                done.add(id(obj))
+                done_add(i)
                 if obj.x1 <= x0 or x1 <= obj.x0 \
                         or obj.y1 <= y0 or y1 <= obj.y0:
                     continue
-                yield obj
+                out.append(obj)
+        return out
 
 
 # ---------------------------------------------------------------------------
