@@ -356,3 +356,122 @@ def q_ann_near_dup_pairs(spark, sf_dir):
                 F.col("c.vec_id").alias("vec_b"),
                 F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means: trained coarse quantizer (the IVF cells above use fixed
+# md5-derived centroids; this is the Lloyd-trained variant)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_Q = 3  # input quantization decimals (see docstring)
+
+_KM_Q_SQL = f"list_transform(embedding, x -> round(x::double, {_KM_Q}))"
+_KM_DIST_SQL = ("list_sum(list_transform(range(len({v})), i -> "
+                "({v}[i+1] - {c}[i+1]) * ({v}[i+1] - {c}[i+1])))")
+
+
+@register(
+    "kmeans_assign",
+    f"""
+    with q as (
+      select vec_id, {_KM_Q_SQL} as v from embeddings
+    ),
+    c0 as (
+      select vec_id as cluster, v as c from q where vec_id < {_KM_K}
+    ),
+    a1 as (
+      select vec_id, v, cluster from (
+        select q.vec_id, q.v, c0.cluster,
+               row_number() over (partition by q.vec_id order by
+                 {_KM_DIST_SQL.format(v='q.v', c='c0.c')},
+                 c0.cluster) as rnk
+        from q cross join c0) t
+      where rnk = 1
+    ),
+    dims as (
+      select cluster,
+             unnest(list_transform(range(len(v)),
+                    i -> {{'i': i, 'x': v[i+1]}}), recursive := true)
+      from a1
+    ),
+    sums as (
+      select cluster, i, sum(cast(x as decimal(20,6))) as s,
+             count(*) as n
+      from dims group by 1, 2
+    ),
+    c1 as (
+      select cluster, list(s::double / n order by i) as c
+      from sums group by 1
+    )
+    select vec_id, cluster, round(dist, 6) as dist from (
+      select q.vec_id, c1.cluster,
+             {_KM_DIST_SQL.format(v='q.v', c='c1.c')} as dist,
+             row_number() over (partition by q.vec_id order by
+               {_KM_DIST_SQL.format(v='q.v', c='c1.c')},
+               c1.cluster) as rnk
+      from q cross join c1) t
+    where rnk = 1
+    """,
+)
+def q_kmeans_assign(spark, sf_dir):
+    """Lloyd-trained coarse quantizer over the embeddings: seed
+    centroids = the first {K} vectors, one assign->update refinement,
+    final assignment with squared-L2 distance. The production IVF
+    training loop is this exact per-round plan repeated until movement
+    converges (the oracle unrolls one round so DuckDB computes the
+    bit-identical answer; iteration count is a parameter, not a plan
+    change).
+
+    Cross-engine float determinism, the two load-bearing tricks:
+
+    - inputs are QUANTIZED to {Q} decimals first (binary doubles never
+      land on decimal rounding midpoints, so HALF_UP vs away-from-zero
+      can't diverge), making the centroid-mean numerators exact in
+      decimal(20,6) — summed WITHOUT float-order sensitivity across
+      Spark's shuffle vs DuckDB's scan order;
+    - distances are sequential left-to-right list folds per row on
+      both engines (never a row-parallel float agg).
+
+    Scale shape: centroids are K rows — broadcast cross join, distance
+    is a codegen'd fold, argmin is a per-vec window (high-cardinality
+    key, no hot partition); the update is a map-side-combinable
+    groupBy(cluster, dim) decimal sum. 10^12 vectors stream through
+    one wide stage per round."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        "embedding", lambda x: F.round(x.cast("double"), _KM_Q))
+    vecs = emb.select("vec_id", xq.alias("v"))
+    cents = (vecs.where(F.col("vec_id") < _KM_K)
+             .select(F.col("vec_id").alias("cluster"),
+                     F.col("v").alias("c")))
+
+    def dist_col():
+        return F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign(cs):
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (vecs.crossJoin(F.broadcast(cs))
+                .select("vec_id", "v", "cluster", dist_col().alias("dist"))
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") == 1))
+
+    a1 = assign(cents)
+    dims = a1.select("cluster", F.posexplode("v").alias("i", "x"))
+    sums = dims.groupBy("cluster", "i").agg(
+        F.sum(F.col("x").cast("decimal(20,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    c1 = (sums.select(
+            "cluster", "i",
+            (F.col("s").cast("double") / F.col("n")).alias("m"))
+          .groupBy("cluster")
+          .agg(F.sort_array(F.collect_list(F.struct("i", "m")))
+               .alias("im"))
+          .select("cluster",
+                  F.transform("im", lambda t: t["m"]).alias("c")))
+    return assign(c1).select(
+        "vec_id", "cluster", F.round("dist", 6).alias("dist"))

@@ -144,3 +144,47 @@ def test_cc_label_prop_one_action_per_round(spark):
         time.sleep(0.25)
     assert store.executionsCount() - before == stats["rounds"], (
         store.executionsCount() - before, stats)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign (round-4 addition): Lloyd refinement is non-vacuous
+# ---------------------------------------------------------------------------
+
+def test_kmeans_assign_refinement_nonvacuous(spark):
+    """The trained-centroid assignment must (a) cover every vector,
+    (b) use more than one cluster, and (c) actually differ from the
+    seed-centroid assignment for some vectors — otherwise the unrolled
+    Lloyd round proves nothing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parsee_pdf_reader_spark.operators.similarity import (
+        _KM_K, _KM_Q, q_kmeans_assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    final = {r.vec_id: r.cluster
+             for r in q_kmeans_assign(spark, sf).collect()}
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    assert len(final) == n
+    assert len(set(final.values())) > 1
+
+    # seed assignment (round 0, before the update step)
+    xq = F.transform("embedding",
+                     lambda x: F.round(x.cast("double"), _KM_Q))
+    vecs = emb.select("vec_id", xq.alias("v"))
+    cents = (vecs.where(F.col("vec_id") < _KM_K)
+             .select(F.col("vec_id").alias("cluster"),
+                     F.col("v").alias("c")))
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    seed = {r.vec_id: r.cluster for r in (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", dist.alias("dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where("rnk = 1").collect())}
+    moved = sum(1 for v in final if final[v] != seed[v])
+    assert moved > 0, "Lloyd update changed no assignment"
