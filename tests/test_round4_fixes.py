@@ -188,3 +188,22 @@ def test_kmeans_assign_refinement_nonvacuous(spark):
         .where("rnk = 1").collect())}
     moved = sum(1 for v in final if final[v] != seed[v])
     assert moved > 0, "Lloyd update changed no assignment"
+
+
+def test_corpus_keep_filter_every_criterion_bites(spark):
+    """The composed curation verdict is only evidence if each
+    criterion independently rejects at least one document at the
+    shipped thresholds (sf0.01 distribution: ~24 dedup drops, ~43
+    low-quality, 75 zh-language, ~74 out-of-length)."""
+    from parsee_pdf_reader_spark.operators.curation import (
+        q_corpus_keep_filter,
+    )
+
+    rows = q_corpus_keep_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert any(r.keep for r in rows)
+    for flag in ("dedup_keep", "quality_ok", "lang_ok", "len_ok"):
+        assert any(not getattr(r, flag) for r in rows), flag
+    for r in rows:
+        assert r.keep == (r.dedup_keep and r.quality_ok
+                          and r.lang_ok and r.len_ok)
