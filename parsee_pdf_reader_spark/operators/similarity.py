@@ -273,11 +273,20 @@ def q_ann_ivf_topk(spark, sf_dir):
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("q_nrm") * F.col("nrm"))
+    # same scatter/gather pre-reduction as ann_cosine_topk (round-4
+    # self-audit: without it the final window funnels ~n/K candidates
+    # per query into _NQUERIES partitions — the exact hazard class of
+    # VERDICT r3 item 3); _local_topk passes the cell column through
+    scored = joined.select("query_id",
+                           F.col("vec_id").alias("neighbor_id"),
+                           "cell", cos.alias("cos_raw"))
+    pre = scored.mapInPandas(
+        _local_topk, schema="query_id bigint, neighbor_id bigint, "
+                            "cell bigint, cos_raw double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
                                                F.asc("neighbor_id"))
     return (
-        joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      "cell", cos.alias("cos_raw"))
+        pre
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TOPK)
         .select("query_id", "neighbor_id", "cell",
