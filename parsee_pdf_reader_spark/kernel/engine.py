@@ -124,9 +124,14 @@ def tokenize(stream: List[tuple], mult: float) -> Tuple[List[Tok], List[Tok]]:
         a total-length match alone can hold coincidentally when cell
         lengths differ but sum to the cell count (e.g. one empty cell
         plus one 2-char cell), which would map regex run indices onto
-        the wrong coordinate slices (ADVICE r3)."""
+        the wrong coordinate slices (ADVICE r3). The check is
+        ``total-length match AND no empty cell``: with non-negative
+        cell lengths summing to the cell count, a >=2-char cell forces
+        a 0-char cell to balance — so ``"" in lt`` (one C-level list
+        scan) is exactly equivalent to ``any(len(t) != 1 ...)``, which
+        profiled at ~9% of the whole PLD path."""
         n = len(text)
-        if n != len(lt) or any(len(t) != 1 for t in lt):
+        if n != len(lt) or "" in lt:
             _fast_line_chars(lt, lx0, lx1, ly0, ly1, lb)
             return
         for m in _RUN_RE.finditer(text):
