@@ -407,3 +407,101 @@ def q_tfidf_top_terms(spark, sf_dir):
     return (scored.where(F.col("rnk") <= _TFIDF_K)
             .select("doc_id", "tok", "tf", "df",
                     F.round(score, 4).alias("tfidf")))
+
+
+@register(
+    "corpus_token_budget",
+    f"""
+    select lang, lang_tokens,
+           round(lang_tokens / total, 6) as share,
+           round(sum(lang_tokens) over (
+                   order by lang_tokens desc, lang
+                   rows unbounded preceding) / total, 6) as cum_share
+    from (
+      select lang,
+             cast(sum(len({_TOKS_SQL})) as bigint) as lang_tokens,
+             cast(sum(sum(len({_TOKS_SQL}))) over () as double) as total
+      from documents group by lang) t
+    """,
+)
+def q_corpus_token_budget(spark, sf_dir):
+    """Training-budget planning surface: whitespace tokens per
+    language with corpus share and the cumulative share in
+    largest-first order (the 'how many languages until 90% of the
+    budget' readout). Scale: ONE map-side-combinable groupBy(lang);
+    every window runs over the ~#langs-row aggregate, never the
+    corpus (the corpus_length_quantiles lesson, applied from the
+    start)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.sum(F.size(_toks_lower())).cast("long").alias("lang_tokens"))
+    wtot = Window.partitionBy()
+    wcum = (Window.orderBy(F.desc("lang_tokens"), F.asc("lang"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("lang_tokens").over(wtot).cast("double")
+    return agg.select(
+        "lang", "lang_tokens",
+        F.round(F.col("lang_tokens") / total, 6).alias("share"),
+        F.round(F.sum("lang_tokens").over(wcum) / total, 6)
+        .alias("cum_share"))
+
+
+_2GRAM_SQL = f"""
+    list_transform(range(len({_TOKS_SQL}) - 1),
+        i -> {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2])
+"""
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    select t.doc_id,
+           m.n_tokens,
+           round(m.top_cnt / m.n_tokens, 6) as top_word_share,
+           case when len(g) > 0
+                then round(1.0 - len(list_distinct(g))
+                           / cast(len(g) as double), 6)
+                else 0.0 end as dup_2gram_frac
+    from (select doc_id, {_2GRAM_SQL} as g from documents) t
+    join (
+      select doc_id, cast(max(c) as double) as top_cnt,
+             cast(sum(c) as double) as n_tokens
+      from (
+        select doc_id, tok, count(*) as c
+        from (select doc_id, unnest({_TOKS_SQL}) as tok
+              from documents) u
+        group by doc_id, tok) pc
+      group by doc_id) m on m.doc_id = t.doc_id
+    """,
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: the most-frequent-token share
+    and the duplicated-bigram fraction per document (high values flag
+    boilerplate/spam for the curation verdict). The bigram fraction is
+    computed entirely inside array expressions (zero shuffle); the
+    top-word share explodes to (doc, token) counts — two map-side-
+    combinable exchanges on doc_id, no hot keys."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks_lower()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "),
+                           F.element_at(toks, i + 2)))
+    g = docs.select("doc_id", grams.alias("g"))
+    dup = F.when(
+        F.size("g") > 0,
+        F.round(1.0 - F.size(F.array_distinct("g"))
+                / F.size("g").cast("double"), 6)).otherwise(0.0)
+    per_tok = (docs.select("doc_id", F.explode(toks).alias("tok"))
+               .groupBy("doc_id", "tok")
+               .agg(F.count(F.lit(1)).alias("c")))
+    m = per_tok.groupBy("doc_id").agg(
+        F.max("c").cast("double").alias("top_cnt"),
+        F.sum("c").cast("double").alias("n_tokens"))
+    return (g.join(m, "doc_id")
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+                    .alias("top_word_share"),
+                    dup.alias("dup_2gram_frac")))

@@ -224,3 +224,26 @@ def test_kmeans_rounds_parameterized(spark):
           for r in kmeans_assign_df(emb, rounds=3).collect()}
     assert set(r1) == set(r3) and len(r1) == emb.count()
     assert len(set(r3.values())) > 1
+
+
+def test_token_budget_and_repetition_stats(spark):
+    """corpus_token_budget: shares sum to 1, cum_share is monotone in
+    largest-first order and ends at 1. doc_repetition_stats: values in
+    [0,1], and this lexicon-heavy corpus repeats bigrams (non-vacuous)."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_corpus_token_budget, q_doc_repetition_stats,
+    )
+
+    rows = (q_corpus_token_budget(spark, SF)
+            .orderBy(F.desc("lang_tokens"), "lang").collect())
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1].cum_share - 1.0) < 1e-4
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share >= a.cum_share >= b.share
+
+    reps = q_doc_repetition_stats(spark, SF).collect()
+    assert reps
+    for r in reps:
+        assert 0.0 <= r.top_word_share <= 1.0
+        assert 0.0 <= r.dup_2gram_frac <= 1.0
+    assert any(r.dup_2gram_frac > 0 for r in reps)
