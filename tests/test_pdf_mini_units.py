@@ -131,11 +131,14 @@ def test_skewed_text_bbox_matches_pdfminer_two_corners():
     and the width is exactly |adv - fs| = |0.667*10 - 10| = 3.33 (the
     AFM Helvetica 'A' advance) — a 4-corner bound would give
     adv + fs = 16.67."""
+    from parsee_pdf_reader_spark.sources.afm14 import STD14_WIDTHS
+
     chars = _pdf_chars(
         _one_font_pdf("BT /F1 10 Tf 1 1 -1 1 300 100 Tm (A) Tj ET"))
     assert [c.text for c in chars] == ["A"]
     a = chars[0]
-    assert abs((a.x1 - a.x0) - 3.33) < 0.01, (a.x0, a.x1)
+    adv = STD14_WIDTHS["Helvetica"]["A"] * 10 / 1000.0  # 6.67
+    assert abs((a.x1 - a.x0) - abs(adv - 10.0)) < 1e-6, (a.x0, a.x1)
 
 
 def test_std14_helvetica_afm_advances_no_widths_array():
