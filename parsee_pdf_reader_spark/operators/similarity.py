@@ -453,6 +453,9 @@ def q_kmeans_assign(spark, sf_dir):
 def kmeans_assign_df(emb, k=_KM_K, rounds=1):
     """Parameterized Lloyd trainer over an (vec_id, embedding) frame:
     ``rounds`` assign->update refinements, then the final assignment.
+    Seeds are the vectors with ``vec_id < k`` — deterministic and
+    oracle-friendly, but it assumes ids are dense from 0 (the corpus
+    contract); for arbitrary ids seed via a rank instead.
     The gate query pins rounds=1 (the unrolled oracle); production
     loops until centroid movement converges — each extra round adds
     the same broadcast-join + groupBy(cluster, dim) stage. Past a few
