@@ -160,3 +160,192 @@ def media_decode_query(spark, sf_dir):
     """rows-only check: synthesize media + decode stub end to end."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return decode_media(make_media_df(spark, docs))
+
+
+# --- resize planning (task list: decode / feature-extract / RESIZE /
+# frame-sample). The pixel resample itself needs PIL (absent — the
+# decode stub documents that gate); the PLAN — fit-within box,
+# aspect-preserving, never upscaling, output-byte budget — is pure
+# arithmetic, shared between the real media path and the oracled twin.
+
+_RESIZE_TARGET = 224
+
+
+def resize_plan_cols(w, h, ch, target=_RESIZE_TARGET):
+    """Columns (out_w, out_h, scale, out_bytes, will_resize) for
+    fit-within-``target`` aspect-preserving downscale. Floor+clamp-to-1
+    on both engines; doubles only in the scale ratio (deterministic
+    single division each)."""
+    wd = w.cast("double")
+    hd = h.cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(target)) / wd,
+                    F.lit(float(target)) / hd)
+    out_w = F.greatest(F.lit(1), F.floor(wd * scale).cast("int"))
+    out_h = F.greatest(F.lit(1), F.floor(hd * scale).cast("int"))
+    return (out_w, out_h, F.round(scale, 6),
+            (out_w * out_h * ch).cast("long"), scale < 1.0)
+
+
+def resize_plan(decoded: DataFrame) -> DataFrame:
+    """Attach the resize plan to `decode_media` output (image/video
+    rows with real dims; error rows pass through with nulls)."""
+    out_w, out_h, scale, out_bytes, will = resize_plan_cols(
+        F.col("width"), F.col("height"), F.col("channels"))
+    ok = F.col("error").isNull() & F.col("width").isNotNull()
+    return decoded.select(
+        "doc_id", "kind", "width", "height", "channels", "error",
+        F.when(ok, out_w).alias("out_w"),
+        F.when(ok, out_h).alias("out_h"),
+        F.when(ok, scale).alias("scale"),
+        F.when(ok, out_bytes).alias("out_bytes"),
+        F.when(ok, will).alias("will_resize"))
+
+
+# md5-derived dims twin (blake2b seeds of the real blobs aren't SQL-
+# expressible; the ARITHMETIC under test is identical)
+_HEXD = "0123456789ABCDEF"
+
+
+def _hexv_sql(expr, pos):
+    return (f"(instr('{_HEXD}', substr(upper({expr}), {pos}, 1)) - 1)"
+            )
+
+
+def _byte_sql(expr, i):
+    return (f"(16 * {_hexv_sql(expr, 2 * i + 1)}"
+            f" + {_hexv_sql(expr, 2 * i + 2)})")
+
+
+_MD5_ID = "md5(cast(doc_id as varchar))"
+
+_DIMS_SQL = f"""
+    select doc_id,
+           16 + ({_byte_sql(_MD5_ID, 0)} % 64) * 4 as w,
+           16 + ({_byte_sql(_MD5_ID, 1)} % 64) * 4 as h,
+           1 + {_byte_sql(_MD5_ID, 2)} % 3 as ch
+    from documents
+"""
+
+
+@register(
+    "media_resize_plan",
+    f"""
+    select doc_id, w as src_w, h as src_h, ch as channels,
+           greatest(1, cast(floor(w * s) as int)) as out_w,
+           greatest(1, cast(floor(h * s) as int)) as out_h,
+           round(s, 6) as scale,
+           cast(greatest(1, cast(floor(w * s) as int))
+                * greatest(1, cast(floor(h * s) as int))
+                * ch as bigint) as out_bytes,
+           (s < 1.0) as will_resize
+    from (
+      select doc_id, w, h, ch,
+             least(1.0, {_RESIZE_TARGET} / cast(w as double),
+                   {_RESIZE_TARGET} / cast(h as double)) as s
+      from ({_DIMS_SQL}) d) t
+    """,
+)
+def q_media_resize_plan(spark, sf_dir):
+    """Oracled twin of `resize_plan`: identical fit-within arithmetic
+    over md5-derived (w, h, ch) dims. Pure projection — zero shuffles
+    at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.upper(F.md5(F.col("doc_id").cast("string")))
+
+    def hexv(pos):
+        return F.instr(F.lit(_HEXD), F.substring(m, pos, 1)) - 1
+
+    def byte(i):
+        return 16 * hexv(2 * i + 1) + hexv(2 * i + 2)
+
+    dims = docs.select(
+        "doc_id",
+        (16 + (byte(0) % 64) * 4).alias("w"),
+        (16 + (byte(1) % 64) * 4).alias("h"),
+        (1 + byte(2) % 3).alias("ch"))
+    out_w, out_h, scale, out_bytes, will = resize_plan_cols(
+        F.col("w"), F.col("h"), F.col("ch"))
+    return dims.select(
+        "doc_id", F.col("w").alias("src_w"), F.col("h").alias("src_h"),
+        F.col("ch").alias("channels"),
+        out_w.alias("out_w"), out_h.alias("out_h"),
+        scale.alias("scale"), out_bytes.alias("out_bytes"),
+        will.alias("will_resize"))
+
+
+# --- byte-level feature extraction over a binary column (real, no
+# native deps: compressed/encrypted payloads read as high-entropy,
+# structured ones low — the cheap pre-decode triage signal) ---
+
+_FEAT_SAMPLE = 256  # first N payload bytes
+
+
+@register(
+    "media_byte_features",
+    f"""
+    select doc_id, n,
+           round(list_sum(bytes) / cast(n as double), 4) as mean_byte,
+           round(len(list_distinct(bytes)) / cast(n as double), 6)
+               as distinct_ratio,
+           round(-list_sum(list_transform(range(256), v ->
+               case when len(list_filter(bytes, b -> b = v)) > 0
+                    then (len(list_filter(bytes, b -> b = v))
+                          / cast(n as double))
+                         * ln(len(list_filter(bytes, b -> b = v))
+                              / cast(n as double))
+                    else 0.0 end)), 6) as entropy
+    from (
+      select doc_id,
+             least(octet_length(encode(text)), {_FEAT_SAMPLE}) as n,
+             list_transform(
+               range(least(octet_length(encode(text)), {_FEAT_SAMPLE})),
+               i -> 16 * (instr('{_HEXD}',
+                      substr(hex(encode(text)), 2*i + 1, 1)) - 1)
+                    + (instr('{_HEXD}',
+                      substr(hex(encode(text)), 2*i + 2, 1)) - 1))
+               as bytes
+      from documents) t
+    where n > 0
+    """,
+)
+def q_media_byte_features(spark, sf_dir):
+    """Feature extraction over an opaque binary column, computed
+    JVM-side from the hex encoding (no Python in the loop): sample
+    mean byte, distinct-byte ratio, and Shannon entropy of the first
+    {N} bytes. Pure projection (the nested 256-bin fold is O(N*256)
+    per row of pure codegen — no shuffle, no UDF); both engines fold
+    the bins in the same order so the float sums are bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    hx = F.hex(blob)
+    n = F.least(F.octet_length(blob), F.lit(_FEAT_SAMPLE))
+
+    def hexv(pos):
+        return F.instr(
+            F.lit(_HEXD),
+            F.substring(hx, pos.cast("int"), F.lit(1))) - 1
+
+    bytes_arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: 16 * hexv(2 * i + 1) + hexv(2 * i + 2))
+    base = docs.select("doc_id", n.alias("n"),
+                       bytes_arr.alias("bytes")).where(F.col("n") > 0)
+    nd = F.col("n").cast("double")
+    mean = F.round(
+        F.aggregate("bytes", F.lit(0), lambda a, x: a + x) / nd, 4)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct("bytes")) / nd, 6)
+    p_of = lambda c: c / nd  # noqa: E731
+    ent = F.round(-F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda v: F.when(
+                F.size(F.filter("bytes", lambda b: b == v)) > 0,
+                p_of(F.size(F.filter("bytes", lambda b: b == v)))
+                * F.log(p_of(F.size(F.filter("bytes", lambda b: b == v))))
+            ).otherwise(0.0),
+        ),
+        F.lit(0.0), lambda a, x: a + x), 6)
+    return base.select("doc_id", "n", mean.alias("mean_byte"),
+                       distinct_ratio.alias("distinct_ratio"),
+                       ent.alias("entropy"))

@@ -247,3 +247,29 @@ def test_token_budget_and_repetition_stats(spark):
         assert 0.0 <= r.top_word_share <= 1.0
         assert 0.0 <= r.dup_2gram_frac <= 1.0
     assert any(r.dup_2gram_frac > 0 for r in reps)
+
+
+def test_resize_plan_over_real_media_pipeline(spark):
+    """resize_plan rides decode_media's output (the real binary-column
+    path): every decodable row gets a fit-within-224 plan — aspect
+    preserved (within floor rounding), never upscaled, clamped to >=1;
+    error rows carry nulls. Both a will_resize and a no-resize case
+    must occur (dims are 16..268, straddling the 224 box)."""
+    from parsee_pdf_reader_spark.operators.multimodal import (
+        decode_media, make_media_df, resize_plan,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    rows = resize_plan(decode_media(make_media_df(spark, docs))).collect()
+    ok = [r for r in rows if r.error is None and r.width is not None]
+    assert ok
+    for r in ok:
+        assert 1 <= r.out_w <= 224 and 1 <= r.out_h <= 224
+        assert r.out_w <= r.width and r.out_h <= r.height
+        assert r.out_bytes == r.out_w * r.out_h * r.channels
+        if r.will_resize:
+            assert max(r.width, r.height) > 224
+        else:
+            assert (r.out_w, r.out_h) == (r.width, r.height)
+    assert any(r.will_resize for r in ok)
+    assert any(not r.will_resize for r in ok)
