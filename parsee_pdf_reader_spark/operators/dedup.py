@@ -837,3 +837,57 @@ def q_dedup_verify_pipeline(spark, sf_dir):
         joined.where(jac >= 0.01)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_SH_BANDS = 4     # 16 bits -> 4 nibble bands
+_SH_MAXHAM = 3    # pigeonhole: hamming <= 3 < 4 bands => >=1 band equal
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    with h as (select doc_id, {_SIMHASH_SQL} as sh from documents),
+    bands as (
+      select doc_id, sh, b,
+             cast(floor(sh / power(2, 4 * b)) as bigint) % 16 as bv
+      from h, range({_SH_BANDS}) t(b)
+    )
+    select distinct a.doc_id as doc_a, c.doc_id as doc_b,
+           bit_count(xor(a.sh, c.sh)) as hamming
+    from bands a join bands c
+      on a.b = c.b and a.bv = c.bv and a.doc_id < c.doc_id
+    where bit_count(xor(a.sh, c.sh)) <= {_SH_MAXHAM}
+    """,
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs, the Manku/Jain/Das Sarma 2007
+    web-dedup shape: split each hash into {B} bands; any two hashes
+    within hamming distance {K} < {B} must agree on at least one whole
+    band (pigeonhole), so an equi-join on (band, band_value) generates
+    ALL qualifying pairs — exact recall, never an O(n^2) comparison —
+    and bit_count(xor) verifies candidates only.
+
+    Scale: one explode to n*{B} band rows, one equi-join on the band
+    key (candidates ~ collisions, which near-dups are), map-side
+    distinct. The 16-bit oracle twin saturates at web scale exactly
+    like dedup_simhash — production pairs `simhash_col(63)` with more
+    bands (k < bands still the recall condition); same plan."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", simhash_col(_toks()).alias("sh"))
+    bands = h.select(
+        "doc_id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BANDS - 1))).alias("b")
+    ).withColumn(
+        "bv", F.floor(F.col("sh") / F.pow(F.lit(2.0), 4 * F.col("b")))
+        .cast("long") % 16)
+    a = bands.alias("a")
+    c = bands.alias("c")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("c.sh")))
+    return (a.join(c, (F.col("a.b") == F.col("c.b"))
+                   & (F.col("a.bv") == F.col("c.bv"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .where(ham <= _SH_MAXHAM)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"),
+                    ham.alias("hamming"))
+            .distinct())

@@ -273,3 +273,31 @@ def test_resize_plan_over_real_media_pipeline(spark):
             assert (r.out_w, r.out_h) == (r.width, r.height)
     assert any(r.will_resize for r in ok)
     assert any(not r.will_resize for r in ok)
+
+
+def test_simhash_near_pairs_exact_recall(spark, tmp_path):
+    """Pigeonhole recall proof on a small corpus: the banded join must
+    produce EXACTLY the brute-force set of pairs with hamming <= 3
+    (4 bands, k=3 < 4 guarantees a shared band for every such pair)."""
+    import os
+
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _toks, q_simhash_near_pairs, simhash_col,
+    )
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in q_simhash_near_pairs(spark, d).collect()}
+    hs = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash_col(_toks()).alias("sh")).collect()}
+    ids = sorted(hs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want and len(want) > 0
