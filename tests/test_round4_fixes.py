@@ -301,3 +301,66 @@ def test_simhash_near_pairs_exact_recall(spark, tmp_path):
             if ham <= 3:
                 want[(a, b)] = ham
     assert got == want and len(want) > 0
+
+
+def test_hash_width_prefix_property(spark):
+    """Property over widths: for any pair n < m, the n low bits of the
+    m-bit simhash equal the n-bit simhash (same md5-derived bit
+    stream), and likewise for LSH plane buckets — so widening in
+    production never invalidates narrower persisted signatures."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _toks, simhash_col,
+    )
+    from parsee_pdf_reader_spark.operators.similarity import (
+        lsh_bucket_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta gamma{i % 3} delta epsilon{i}")
+         for i in range(6)], "doc_id long, text string")
+    widths = [1, 7, 16, 33, 63]
+    row = docs.select(
+        *[simhash_col(_toks(), n).alias(f"h{n}") for n in widths]
+    ).collect()
+    for r in row:
+        for i, n in enumerate(widths):
+            for m in widths[i + 1:]:
+                assert r[f"h{m}"] & ((1 << n) - 1) == r[f"h{n}"], (n, m)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(6)
+    pw = [1, 8, 24, 63]
+    rows = emb.select(
+        *[lsh_bucket_col(n).alias(f"b{n}") for n in pw]).collect()
+    for r in rows:
+        for i, n in enumerate(pw):
+            for m in pw[i + 1:]:
+                assert r[f"b{m}"] & ((1 << n) - 1) == r[f"b{n}"], (n, m)
+
+
+def test_media_byte_features_against_pure_python(spark, tmp_path):
+    """Independent check (beyond the DuckDB twin): entropy/mean/
+    distinct over the first 256 utf-8 bytes recomputed in pure Python
+    must match the JVM-side hex arithmetic to the rounding grain."""
+    import math
+    import os
+
+    from parsee_pdf_reader_spark.operators.multimodal import (
+        q_media_byte_features,
+    )
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in q_media_byte_features(spark, d).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        b = row.text.encode("utf-8")[:256]
+        n = len(b)
+        counts = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        ent = -sum((c / n) * math.log(c / n) for c in counts.values())
+        g = got[row.doc_id]
+        assert g.n == n
+        assert abs(g.mean_byte - round(sum(b) / n, 4)) < 1e-9
+        assert abs(g.distinct_ratio - round(len(counts) / n, 6)) < 1e-9
+        assert abs(g.entropy - ent) < 2e-6, (g.entropy, ent)
