@@ -53,3 +53,58 @@ def test_simhash_near_pairs_wide_recall(spark, tmp_path):
     # wide bands are NOT saturated: pairs ~ dups, not ~C(n,2)/16
     n = len(ids)
     assert len(got) < n * (n - 1) / 2 / 16
+
+
+def test_stream_neardup_same_batch_one_survivor(spark, tmp_path):
+    """VERDICT r4 item 2 / ADVICE r4: two near-dups arriving in the
+    SAME micro-batch must leave exactly ONE survivor (the min doc_id),
+    never zero. Round 4's dropDuplicatesWithinWatermark picked an
+    arbitrary per-bucket winner, so the pair could split band
+    ownership and both drop; the min-claim windowed aggregation is
+    arrival-order-free. All three docs land in one file = one
+    micro-batch."""
+    import datetime
+
+    from parsee_pdf_reader_spark.streaming.incremental import (
+        run_stream_neardup,
+    )
+
+    inp = os.path.join(str(tmp_path), "docs_stream")
+    outp = os.path.join(str(tmp_path), "neardup")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(inp)
+    t0 = datetime.datetime(2025, 6, 1, 10, 0, 0)
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank tonight")
+    other = ("completely different content about quarterly revenue "
+             "and operating expenses growth")
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    b1 = [(7, t0, base, "en"),
+          (8, t0 + datetime.timedelta(minutes=1), near, "en"),
+          (9, t0 + datetime.timedelta(minutes=2), other, "en")]
+    b2 = [(99, t0 + datetime.timedelta(hours=3), "late sentinel", "en")]
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    # sanity: the pair IS a near-dup family under the band arithmetic
+    from parsee_pdf_reader_spark.operators.dedup import (
+        minhash_band_hashes,
+    )
+    from pyspark.sql import functions as F
+    bh = spark.createDataFrame(b1, schema).select(
+        "doc_id", F.explode(minhash_band_hashes("text")).alias("x"))
+    shared = (bh.groupBy("x").count().where("count > 1").count())
+    assert shared >= 1
+
+    q = run_stream_neardup(spark, inp, outp, ck,
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(outp).collect()}
+    assert 7 in kept, kept        # min doc_id of the family survives
+    assert 8 not in kept, kept    # its same-batch near-dup drops
+    assert 9 in kept, kept        # unrelated doc untouched
