@@ -311,8 +311,14 @@ def connected_components_df(pairs, algorithm="label_prop", stats=None):
     label_prop folds an ``Observation`` changed-label counter into the
     round's own eager-localCheckpoint materialization — ONE Spark job
     per round, no labels-vs-labels rejoin; star compares a (count,
-    xor-of-hash) edge-set signature computed by the round's single agg
-    action.
+    xor-of-hash, sum-of-hash, min, max) edge-set signature computed by
+    the round's single agg action.
+
+    If label_prop exhausts its round budget (component diameter >
+    ``_CC_MAX_ITERS`` — an adversarial chain), it AUTO-ESCALATES to
+    the star variant instead of failing (VERDICT r4 item 5); ``stats``
+    then reports ``algorithm="label_prop->star"`` with both round
+    counts.
 
     Lineage: every round's result is eagerly ``localCheckpoint``ed and
     the previous round's blocks released. This is load-bearing, not a
@@ -330,6 +336,20 @@ def connected_components_df(pairs, algorithm="label_prop", stats=None):
         labels = _cc_star_labels(pairs, stats)
     else:
         labels = _cc_label_prop_labels(pairs, stats)
+        if labels is None:
+            # auto-escalation (VERDICT r4 item 5): label_prop needs
+            # ~diameter rounds, so a >_CC_MAX_ITERS-diameter component
+            # (adversarial chain) exhausts the budget. Rather than
+            # fail the job, rerun with the O(log^2 n)-round star
+            # variant — same labels (min doc_id per component), just a
+            # round complexity that cannot be driven high by graph
+            # shape. stats records both phases.
+            esc = {}
+            labels = _cc_star_labels(pairs, esc)
+            if stats is not None:
+                stats.update(
+                    algorithm="label_prop->star",
+                    star_rounds=esc.get("rounds"), escalated=True)
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
@@ -387,10 +407,9 @@ def _cc_label_prop_labels(pairs, stats=None):
             break
     if stats is not None:
         stats.update(rounds=rounds, algorithm="label_prop")
-    if not converged:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds")
     edges.unpersist()
+    if not converged:
+        return None  # caller escalates to the star variant
     return labels
 
 
@@ -406,8 +425,9 @@ def _cc_star_labels(pairs, stats=None):
     Both are one groupBy(min) + one equi-join over the current edge
     set — map-side combinable, no ordered windows. The edge set only
     shrinks toward a forest of min-rooted stars; fixpoint = edge-set
-    signature (count, xor of xxhash64) stable across a round, read
-    off the round's single agg action (no extra pass)."""
+    signature (count, xor + exact sum of xxhash64, min, max — ADVICE
+    r4 widening) stable across a round, read off the round's single
+    agg action (no extra pass)."""
     canon = (pairs.select(
         F.least("doc_a", "doc_b").alias("lo"),
         F.greatest("doc_a", "doc_b").alias("hi"))
@@ -415,11 +435,27 @@ def _cc_star_labels(pairs, stats=None):
         .distinct().localCheckpoint(eager=True))
 
     def signature(e):
+        # ADVICE r4: xor-of-hashes alone is collision-prone in
+        # principle (xor is GF(2)-linear — an even multiset of bit
+        # flips cancels). Widen the fingerprint in the SAME single agg
+        # action: count, xor AND exact decimal sum of xxhash64, plus
+        # the exact (min, max) edge endpoints. A false early stop now
+        # requires two DIFFERENT consecutive edge sets of equal size
+        # whose 64-bit hash multisets collide under both xor and
+        # integer sum with equal extrema — xor and sum are
+        # algebraically independent constraints, so a crafted
+        # single-hash collision no longer suffices.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"),
-                       F.lit(0)).alias("x")).collect()[0]
-        return (row["n"], row["x"])
+                       F.lit(0)).alias("x"),
+            F.coalesce(  # decimal sum: exact, overflow-free (ANSI)
+                F.sum(F.expr("xxhash64(lo, hi)").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)")).alias("s"),
+            F.min(F.struct("lo", "hi")).alias("mn"),
+            F.max(F.struct("lo", "hi")).alias("mx"),
+        ).collect()[0]
+        return (row["n"], row["x"], row["s"], row["mn"], row["mx"])
 
     def sym(e):
         return e.select(F.col("lo").alias("src"),

@@ -108,3 +108,25 @@ def test_stream_neardup_same_batch_one_survivor(spark, tmp_path):
     assert 7 in kept, kept        # min doc_id of the family survives
     assert 8 not in kept, kept    # its same-batch near-dup drops
     assert 9 in kept, kept        # unrelated doc untouched
+
+
+def test_cc_label_prop_escalates_to_star_on_long_chain(spark):
+    """VERDICT r4 item 5: a component whose diameter exceeds the
+    label_prop round budget (path graph of 30 nodes > _CC_MAX_ITERS=25
+    rounds) must CONVERGE via automatic escalation to the star
+    contraction instead of raising — same labels (min doc_id), correct
+    sizes, stats recording both phases."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _CC_MAX_ITERS, connected_components_df,
+    )
+
+    n = _CC_MAX_ITERS + 5
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats = {}
+    rows = connected_components_df(pairs, stats=stats).collect()
+    assert stats["algorithm"] == "label_prop->star", stats
+    assert stats["escalated"] and stats["rounds"] == _CC_MAX_ITERS
+    assert stats["star_rounds"] <= 7, stats
+    assert len(rows) == n
+    assert all(r.cluster_id == 0 and r.cluster_size == n for r in rows)
