@@ -283,18 +283,7 @@ _FEAT_SAMPLE = 256  # first N payload bytes
 @register(
     "media_byte_features",
     f"""
-    select doc_id, n,
-           round(list_sum(bytes) / cast(n as double), 4) as mean_byte,
-           round(len(list_distinct(bytes)) / cast(n as double), 6)
-               as distinct_ratio,
-           round(-list_sum(list_transform(range(256), v ->
-               case when len(list_filter(bytes, b -> b = v)) > 0
-                    then (len(list_filter(bytes, b -> b = v))
-                          / cast(n as double))
-                         * ln(len(list_filter(bytes, b -> b = v))
-                              / cast(n as double))
-                    else 0.0 end)), 6) as entropy
-    from (
+    with b as (
       select doc_id,
              least(octet_length(encode(text)), {_FEAT_SAMPLE}) as n,
              list_transform(
@@ -304,17 +293,46 @@ _FEAT_SAMPLE = 256  # first N payload bytes
                     + (instr('{_HEXD}',
                       substr(hex(encode(text)), 2*i + 2, 1)) - 1))
                as bytes
-      from documents) t
-    where n > 0
+      from documents),
+    s as (select doc_id, n, bytes, list_sort(bytes) as srt
+          from b where n > 0),
+    r as (select doc_id, n, bytes,
+                 list_filter(range(1, n + 1),
+                   i -> i = 1 or srt[i] <> srt[greatest(i - 1, 1)])
+                   as starts
+          from s),
+    c as (select doc_id, n, bytes,
+                 list_concat(starts, [n + 1]) as bounds,
+                 len(starts) as nruns
+          from r)
+    select doc_id, n,
+           round(list_sum(bytes) / cast(n as double), 4) as mean_byte,
+           round(nruns / cast(n as double), 6) as distinct_ratio,
+           round(ln(n) - list_sum(list_transform(
+                   list_transform(range(1, nruns + 1),
+                                  j -> bounds[j + 1] - bounds[j]),
+                   c -> c * ln(c))) / n, 6) as entropy
+    from c
     """,
 )
 def q_media_byte_features(spark, sf_dir):
     """Feature extraction over an opaque binary column, computed
     JVM-side from the hex encoding (no Python in the loop): sample
     mean byte, distinct-byte ratio, and Shannon entropy of the first
-    {N} bytes. Pure projection (the nested 256-bin fold is O(N*256)
-    per row of pure codegen — no shuffle, no UDF); both engines fold
-    the bins in the same order so the float sums are bit-identical."""
+    {N} bytes. Pure projection — no shuffle, no UDF.
+
+    Entropy is a SINGLE pass over the sorted byte array (VERDICT r4
+    item 4): sort, find run starts (adjacent-inequality filter),
+    difference consecutive starts into run counts c, then
+    ``ln(n) - sum(c*ln c)/n`` — algebraically -sum(p ln p). That is
+    O(N log N + N) expression ops per row vs round 4's 256 per-bin
+    ``F.filter`` scans (256 lambda passes over the array, ~65k
+    evaluations per 256-byte row — a ~100x op-count drop). Run count
+    also gives distinct_ratio for free. Both engines evaluate the
+    identical expression tree (sort order, fold order), so the float
+    results stay bit-identical; 1-based indexing with a
+    ``greatest(i-1, 1)`` guard keeps ANSI element_at happy at the
+    first position."""
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode("text", "utf-8")
     hx = F.hex(blob)
@@ -330,22 +348,29 @@ def q_media_byte_features(spark, sf_dir):
         lambda i: 16 * hexv(2 * i + 1) + hexv(2 * i + 2))
     base = docs.select("doc_id", n.alias("n"),
                        bytes_arr.alias("bytes")).where(F.col("n") > 0)
+    srt = F.array_sort("bytes")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (i == 1) | (F.element_at(srt, i)
+                              != F.element_at(srt, F.greatest(
+                                  i - 1, F.lit(1)))))
+    with_runs = base.select(
+        "doc_id", "n", "bytes",
+        F.concat(starts, F.array(F.col("n") + 1)).alias("bounds"),
+        F.size(starts).alias("nruns"))
     nd = F.col("n").cast("double")
     mean = F.round(
         F.aggregate("bytes", F.lit(0), lambda a, x: a + x) / nd, 4)
-    distinct_ratio = F.round(
-        F.size(F.array_distinct("bytes")) / nd, 6)
-    p_of = lambda c: c / nd  # noqa: E731
-    ent = F.round(-F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(255)),
-            lambda v: F.when(
-                F.size(F.filter("bytes", lambda b: b == v)) > 0,
-                p_of(F.size(F.filter("bytes", lambda b: b == v)))
-                * F.log(p_of(F.size(F.filter("bytes", lambda b: b == v))))
-            ).otherwise(0.0),
-        ),
-        F.lit(0.0), lambda a, x: a + x), 6)
-    return base.select("doc_id", "n", mean.alias("mean_byte"),
-                       distinct_ratio.alias("distinct_ratio"),
-                       ent.alias("entropy"))
+    distinct_ratio = F.round(F.col("nruns") / nd, 6)
+    counts = F.transform(
+        F.sequence(F.lit(1), F.col("nruns")),
+        lambda j: F.element_at("bounds", (j + 1).cast("int"))
+        - F.element_at("bounds", j.cast("int")))
+    clogc = F.aggregate(
+        F.transform(counts,
+                    lambda c: c.cast("double") * F.log(c.cast("double"))),
+        F.lit(0.0), lambda a, x: a + x)
+    ent = F.round(F.log(nd) - clogc / nd, 6)
+    return with_runs.select("doc_id", "n", mean.alias("mean_byte"),
+                            distinct_ratio.alias("distinct_ratio"),
+                            ent.alias("entropy"))

@@ -89,8 +89,15 @@ def test_tfidf_does_not_broadcast_vocabulary(spark):
     )
 
     plan = _physical(q_tfidf_top_terms(spark, SF))
-    assert "BroadcastExchange" not in plan, plan
+    # the tok equi-join must be shuffled; a broadcast vocabulary would
+    # surface as a BroadcastHashJoin keyed on tok
+    assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+    # the ONLY broadcast allowed is the one-row corpus-count cross
+    # join (r5: replaced the eager driver-side docs.count())
+    n_bcast = plan.count("BroadcastExchange")
+    assert n_bcast <= 1 and ("BroadcastNestedLoopJoin" in plan
+                             if n_bcast else True), plan
 
 
 def test_topk_prereduces_before_priority_window(spark):
