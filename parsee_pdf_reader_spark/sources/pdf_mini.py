@@ -1360,13 +1360,21 @@ class Font:
                     self.tounicode = _ttf_gid_to_unicode(
                         pdf.stream_data(ff))
         else:
-            from parsee_pdf_reader_spark.sources.afm14 import std14_table
+            from parsee_pdf_reader_spark.sources.afm14 import (
+                builtin_encoding, std14_table,
+            )
 
             # exact standard-14 name -> AFM widths take precedence
             # over /Widths (pdfminer PDFType1Font semantics; TrueType
-            # subclasses it, Type3 never consults the metrics DB)
+            # subclasses it, Type3 never consults the metrics DB).
+            # Symbolic standard fonts (Symbol) also carry their
+            # BUILT-IN encoding: code -> unicode, consulted after
+            # ToUnicode/Differences but before the Latin byte codecs
+            # (a Symbol byte 0x61 is alpha, not 'a').
             self.std14 = (std14_table(str(base))
                           if self.subtype != "Type3" else None)
+            self.builtin_map = (builtin_encoding(str(base))
+                                if self.subtype != "Type3" else None)
             self.first_char = pdf.resolve(fdict.get("FirstChar", 0)) or 0
             w = pdf.resolve(fdict.get("Widths")) or []
             self.simple_widths = [pdf.resolve(x) or 0 for x in w]
@@ -1469,6 +1477,8 @@ class Font:
                 uni = self.tounicode.get(b)
                 if uni is None:
                     uni = self.diff_map.get(b)
+                if uni is None and self.builtin_map is not None:
+                    uni = self.builtin_map.get(b)
                 if uni is None:
                     try:
                         uni = bytes([b]).decode(self.byte_codec)

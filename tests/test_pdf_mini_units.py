@@ -376,7 +376,8 @@ def test_mediabox_nonzero_origin_translates():
 def test_afm_accented_glyphs_inherit_base_advance():
     """AFM composite rule: accented Latin glyphs carry the base
     letter's advance (the accent adds no width). Non-decomposable
-    glyphs (ligatures, eth, thorn) stay absent and take MissingWidth."""
+    glyphs (ligatures, eth, germandbls, Euro) carry their OWN
+    published AFM advances since r5 (VERDICT r4 item 3)."""
     from parsee_pdf_reader_spark.sources.afm14 import STD14_WIDTHS
 
     h = STD14_WIDTHS["Helvetica"]
@@ -384,8 +385,10 @@ def test_afm_accented_glyphs_inherit_base_advance():
     assert h["Ü"] == h["U"] == 722
     assert h["ñ"] == h["n"] == 556
     assert h["č"] == h["c"] == 500  # Latin Extended-A
-    assert "æ" not in h and "ß" not in h and "€" not in h
+    # r5: the non-composite AFM entries are real table rows now
+    assert h["æ"] == 889 and h["ß"] == 611 and h["€"] == 556
     t = STD14_WIDTHS["Times-Italic"]
     assert t["à"] == t["a"] == 500
+    assert t["œ"] == 667 and t["—"] == 889
     c = STD14_WIDTHS["Courier"]
-    assert c["ö"] == 600
+    assert c["ö"] == 600 and c["œ"] == 600
