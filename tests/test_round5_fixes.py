@@ -189,6 +189,35 @@ def test_sink_dispatch_iceberg_vs_parquet(spark, tmp_path):
         resolve_sink(spark, "nocat.db.pages")
 
 
+def test_dedup_stack_planted_recall(spark, tmp_path):
+    """VERDICT r4 item 8: seeded corpus with planted near-dup families
+    -> every shipped candidate generator (MinHash-LSH, the verified
+    pipeline, wide SimHash bands) finds 100% of the planted pairs at
+    the SHIPPED batch parameters."""
+    from parsee_pdf_reader_spark.operators.evaluation import (
+        dedup_recall_report, plant_near_dup_corpus,
+    )
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    planted = plant_near_dup_corpus(spark, docs, d, n_families=12)
+    assert planted.count() == 12
+    report = {r.method: r for r in
+              dedup_recall_report(spark, d, planted).collect()}
+    assert set(report) == {"minhash_lsh", "minhash_lsh_verified",
+                           "simhash_wide_bands"}
+    for name, r in report.items():
+        assert r.n_planted == 12, r
+        assert r.recall == 1.0, (name, r)
+        assert r.n_emitted >= r.n_found
+    # MinHash's contract covers every planted one-token edit
+    assert report["minhash_lsh"].n_eligible == 12
+    assert report["minhash_lsh_verified"].n_eligible == 12
+    # the simhash envelope (hamming<=3 of the 63-bit hash) must be
+    # non-vacuous — several planted edits land inside it
+    assert report["simhash_wide_bands"].n_eligible >= 4
+
+
 def _font_pdf(content: str, font_body: bytes) -> bytes:
     """Minimal 1-page PDF with a single parameterized /F1 font."""
     objs = [
