@@ -69,3 +69,159 @@ def q_corpus_keep_filter(spark, sf_dir):
                 lang_ok.alias("lang_ok"), len_ok.alias("len_ok"),
                 (F.col("dedup_keep") & F.col("quality_ok")
                  & lang_ok & len_ok).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (r5): downsample dominant languages
+# to a target mix without any RNG state — the sampling decision is a
+# pure function of doc_id, so re-runs, retries, and different
+# partitionings all select the SAME sample (a property rand() cannot
+# give a distributed job), and the twin engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.35}
+_SAMPLE_DEFAULT = 0.2
+_HEXD = "0123456789abcdef"
+
+# u = integer value of the first 8 hex digits of md5(doc_id) — a
+# uniform draw in [0, 2^32); keep iff u < rate * 2^32
+_RATE_CASE_SQL = "case " + " ".join(
+    f"when lang = '{k}' then {v}" for k, v in _SAMPLE_RATES.items()
+) + f" else {_SAMPLE_DEFAULT} end"
+_THRESH_CASE_SQL = "case " + " ".join(
+    f"when lang = '{k}' then {int(v * (1 << 32))}"
+    for k, v in _SAMPLE_RATES.items()
+) + f" else {int(_SAMPLE_DEFAULT * (1 << 32))} end"
+_U32_SQL = f"""
+    cast(list_sum(list_transform(range(8), i ->
+      (instr('{_HEXD}', substr(md5(cast(doc_id as varchar)),
+                               i + 1, 1)) - 1)
+      * cast(power(16, 7 - i) as bigint))) as bigint)
+"""
+
+
+@register(
+    "corpus_sample",
+    f"""
+    select doc_id, lang,
+           {_RATE_CASE_SQL} as sample_rate,
+           ({_U32_SQL} < {_THRESH_CASE_SQL}) as sampled
+    from documents
+    """,
+)
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic per-language sampling plan: every doc gets a
+    uniform u32 draw derived from md5(doc_id) and a per-language keep
+    rate; ``sampled`` marks the survivors. Emitting the PLAN (flag,
+    not a filter) keeps the decision auditable and lets downstream
+    stages union strata at different rates.
+
+    Scale: pure projection — zero shuffles at any corpus size; the
+    hash draw is reproducible under retries/repartitioning, unlike
+    ``rand()`` whose per-task seeds change with the physical plan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+    rate = F.lit(_SAMPLE_DEFAULT)
+    thresh = F.lit(int(_SAMPLE_DEFAULT * (1 << 32)))
+    for k, v in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+        thresh = F.when(F.col("lang") == k,
+                        F.lit(int(v * (1 << 32)))).otherwise(thresh)
+    return docs.select("doc_id", "lang", rate.alias("sample_rate"),
+                       (u < thresh).alias("sampled"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (r5): flag training docs that overlap a
+# held-out evaluation set by shared word shingles — the step every
+# serious pretraining pipeline runs so eval numbers aren't inflated by
+# memorized test data (the GPT-3/Gopher 13-gram decontamination shape,
+# here on the corpus's canonical 3-gram shingle unit).
+# ---------------------------------------------------------------------------
+
+_BENCH_MAX_ID = 40       # held-out set: doc_id < 40 (deterministic)
+_DECON_N = 8             # 8-gram shingles: 3-grams trip on templated
+                         # boilerplate (175/460 flagged on this corpus
+                         # vs 3/460 at 8 — measured); GPT-3/Gopher use 13
+_DECON_MIN_HITS = 5      # absolute shingle-overlap trigger
+_DECON_FRAC = 0.2        # or >=20% of the doc's shingles
+
+
+@register(
+    "decontam_ngram_overlap",
+    None,  # replaced below — needs dedup's shingle SQL
+)
+def q_decontam_ngram_overlap(spark, sf_dir):
+    """Training-vs-benchmark n-gram overlap: distinct 8-gram shingles
+    of the held-out set (doc_id < {B}) are matched against every
+    training doc's shingles; a doc is ``contaminated`` when the
+    overlap clears an absolute hit count or a fraction of its own
+    shingles.
+
+    Scale: the benchmark side is a FIXED small suite (thousands of
+    docs, ~10^5 shingles at 100 TB too) -> broadcast to the corpus
+    scan; the corpus side is one explode + one broadcast-hash
+    semi-count + one groupBy(doc_id) (combinable, high-cardinality
+    key). No self-join, no shuffle of the corpus shingle explosion
+    beyond the doc_id agg."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _toks, shingles_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_col(_toks(), _DECON_N)
+    bench = (docs.where(F.col("doc_id") < _BENCH_MAX_ID)
+             .select(F.explode(sh).alias("sh")).distinct())
+    cand = (docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
+            .select("doc_id", F.explode(sh).alias("sh")))
+    hits = (cand.join(F.broadcast(bench), "sh")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    sizes = (docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
+             .select("doc_id", F.size(sh).alias("n_shingles")))
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    frac = n_ov / F.col("n_shingles").cast("double")
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles", n_ov.alias("n_overlap"),
+                    F.round(frac, 6).alias("overlap_frac"),
+                    ((n_ov >= _DECON_MIN_HITS)
+                     | (frac >= _DECON_FRAC)).alias("contaminated")))
+
+
+def _decontam_sql() -> str:
+    from parsee_pdf_reader_spark.operators.dedup import _shingles_sql
+
+    _SHINGLES_SQL = _shingles_sql(_DECON_N)
+    return f"""
+    with bench as (
+      select distinct unnest({_SHINGLES_SQL}) as sh
+      from documents where doc_id < {_BENCH_MAX_ID}
+    ),
+    cand as (
+      select doc_id, unnest({_SHINGLES_SQL}) as sh
+      from documents where doc_id >= {_BENCH_MAX_ID}
+    ),
+    hits as (
+      select c.doc_id, count(*) as n_overlap
+      from cand c join bench b using (sh)
+      group by c.doc_id
+    ),
+    sizes as (
+      select doc_id, len({_SHINGLES_SQL}) as n_shingles
+      from documents where doc_id >= {_BENCH_MAX_ID}
+    )
+    select s.doc_id, s.n_shingles,
+           coalesce(h.n_overlap, 0) as n_overlap,
+           round(coalesce(h.n_overlap, 0)
+                 / cast(s.n_shingles as double), 6) as overlap_frac,
+           (coalesce(h.n_overlap, 0) >= {_DECON_MIN_HITS}
+            or coalesce(h.n_overlap, 0)
+               / cast(s.n_shingles as double) >= {_DECON_FRAC})
+               as contaminated
+    from sizes s left join hits h on h.doc_id = s.doc_id
+    """
+
+
+REGISTRY["decontam_ngram_overlap"] = (
+    q_decontam_ngram_overlap, _decontam_sql())

@@ -64,15 +64,37 @@ _SIG_K = 12
 _BANDS = 3
 _BAND_R = 4
 
-_SHINGLES_SQL = f"""
-    (case when len({_TOKS_SQL}) < 3
+def _shingles_sql(n: int = 3) -> str:
+    """DuckDB twin of ``shingles_col`` at any shingle width."""
+    return f"""
+    (case when len({_TOKS_SQL}) < {n}
           then [array_to_string({_TOKS_SQL}, ' ')]
           else list_distinct(list_transform(
-                 range(len({_TOKS_SQL}) - 2),
+                 range(len({_TOKS_SQL}) - {n - 1}),
                  i -> array_to_string(list_slice({_TOKS_SQL},
-                                                 i + 1, i + 3), ' ')))
+                                                 i + 1, i + {n}), ' ')))
      end)
 """
+
+
+_SHINGLES_SQL = _shingles_sql(3)
+
+def shingles_col(toks, n: int = 3):
+    """Distinct n-gram word shingles (Spark twin of
+    ``_shingles_sql``) — n=3 is the canonical unit for MinHash
+    signatures and the verify pipeline; decontamination uses n=8
+    (short shingles trip on templated boilerplate)."""
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
 
 _SIG_SQL = f"""
     list_transform(range({_SIG_K}),

@@ -218,6 +218,60 @@ def test_dedup_stack_planted_recall(spark, tmp_path):
     assert report["simhash_wide_bands"].n_eligible >= 4
 
 
+def test_corpus_sample_deterministic_and_stratified(spark):
+    """r5 sampling plan: decisions are a pure function of doc_id (two
+    runs identical), per-language keep fractions track the configured
+    rates, and the oracle arithmetic (md5 u32 draw) matches the
+    shipped thresholds."""
+    from pyspark.sql import functions as F
+
+    from parsee_pdf_reader_spark.operators.curation import (
+        _SAMPLE_DEFAULT, _SAMPLE_RATES, q_corpus_sample,
+    )
+
+    a = q_corpus_sample(spark, SF).collect()
+    b = q_corpus_sample(spark, SF).collect()
+    assert {(r.doc_id, r.sampled) for r in a} == \
+        {(r.doc_id, r.sampled) for r in b}
+    stats = (q_corpus_sample(spark, SF)
+             .groupBy("lang", "sample_rate")
+             .agg(F.avg(F.col("sampled").cast("int")).alias("frac"),
+                  F.count(F.lit(1)).alias("n")).collect())
+    for r in stats:
+        want = _SAMPLE_RATES.get(r.lang, _SAMPLE_DEFAULT)
+        assert r.sample_rate == want
+        # binomial noise bound at these n (>=60 per lang): 4 sigma
+        sigma = (want * (1 - want) / r.n) ** 0.5
+        assert abs(r.frac - want) < 4 * sigma + 1e-9, (r.lang, r.frac)
+
+
+def test_decontam_flags_planted_benchmark_copy(spark, tmp_path):
+    """r5 decontamination: a training doc that embeds a benchmark
+    doc's text must be flagged contaminated; clean docs (templated
+    boilerplate overlap only) must NOT trip the 8-gram threshold."""
+    from parsee_pdf_reader_spark.operators.curation import (
+        _BENCH_MAX_ID, q_decontam_ngram_overlap,
+    )
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench_text = docs.where(f"doc_id = {_BENCH_MAX_ID - 1}") \
+        .collect()[0].text
+    next_id = 100000
+    leaked = [(next_id, "intro words then " + bench_text + " outro")]
+    corpus = docs.select("doc_id", "text", "lang").unionByName(
+        spark.createDataFrame(
+            [(i, t, "en") for i, t in leaked],
+            "doc_id long, text string, lang string"))
+    corpus.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            q_decontam_ngram_overlap(spark, d).collect()}
+    assert rows[next_id].contaminated, rows[next_id]
+    # 8-gram shingles keep the false-trip rate low on templated text
+    n_contam = sum(1 for r in rows.values() if r.contaminated)
+    assert n_contam <= len(rows) * 0.05, n_contam
+
+
 def _font_pdf(content: str, font_body: bytes) -> bytes:
     """Minimal 1-page PDF with a single parameterized /F1 font."""
     objs = [
