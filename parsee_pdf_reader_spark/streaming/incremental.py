@@ -195,6 +195,47 @@ def stream_dedup_neardup(docs: DataFrame,
     )
 
 
+def stream_dedup_neardup_audit(docs: DataFrame,
+                               watermark: str = "1 hour",
+                               window: str = "5 minutes") -> DataFrame:
+    """Audit variant of ``stream_dedup_neardup`` (ADVICE r4): emits
+    EVERY doc that won at least one bucket with its winning-band count
+    and a ``survived`` verdict, instead of silently filtering losers.
+    ``survived = false`` rows are the side output a production
+    pipeline routes to the batch ``dedup_verify_pipeline`` — a
+    false-positive band collision then costs an exact-Jaccard check,
+    never a silently discarded unique document. (A doc that won ZERO
+    buckets in its window — every band claimed by smaller doc_ids —
+    does not appear here; the claim state only carries winners. The
+    batch pass over the same raw input remains the completeness
+    backstop, which is how LSH dedup is deployed anyway.)"""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _BANDS, minhash_band_hashes,
+    )
+
+    banded = docs.select(
+        "doc_id", "ingest_ts", "text",
+        F.explode(minhash_band_hashes("text")).alias("bh"),
+    ).select("doc_id", "ingest_ts", "text",
+             F.col("bh.b").alias("b"),
+             F.col("bh.band_hash").alias("band_hash"))
+    claims = (
+        banded.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"),
+                 "b", "band_hash")
+        .agg(F.min(F.struct("doc_id", "text")).alias("winner"))
+    )
+    return (
+        claims.groupBy("w",
+                       F.col("winner.doc_id").alias("doc_id"),
+                       F.col("winner.text").alias("text"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .select(F.col("w.start").alias("window_start"), "doc_id",
+                "text", "n_bands",
+                (F.col("n_bands") == _BANDS).alias("survived"))
+    )
+
+
 def run_stream_neardup(spark: SparkSession, input_dir: str,
                        output_dir: str, checkpoint_dir: str,
                        max_files_per_trigger: int = 4):

@@ -110,6 +110,49 @@ def test_stream_neardup_same_batch_one_survivor(spark, tmp_path):
     assert 9 in kept, kept        # unrelated doc untouched
 
 
+def test_stream_neardup_audit_side_output(spark, tmp_path):
+    """ADVICE r4: the audit variant routes band-losing docs to a side
+    output (survived=false) instead of silently dropping them, so a
+    false-positive band collision can be re-checked by the batch
+    verifier. Same corpus as the same-batch test: doc 8 loses >=1
+    band to doc 7 and must surface with survived=false."""
+    import datetime
+
+    from parsee_pdf_reader_spark.streaming.incremental import (
+        stream_dedup_neardup_audit,
+    )
+
+    inp = os.path.join(str(tmp_path), "docs_stream")
+    outp = os.path.join(str(tmp_path), "audit")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(inp)
+    t0 = datetime.datetime(2025, 6, 1, 10, 0, 0)
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank tonight")
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    b1 = [(7, t0, base, "en"),
+          (8, t0 + datetime.timedelta(minutes=1), near, "en")]
+    b2 = [(99, t0 + datetime.timedelta(hours=3), "late sentinel", "en")]
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(inp))
+    q = (stream_dedup_neardup_audit(src)
+         .writeStream.format("parquet").option("path", outp)
+         .option("checkpointLocation", ck).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    assert rows[7].survived and rows[7].n_bands > 0
+    assert 8 in rows and not rows[8].survived, rows.get(8)
+    assert 0 < rows[8].n_bands < rows[7].n_bands
+
+
 def test_cc_label_prop_escalates_to_star_on_long_chain(spark):
     """VERDICT r4 item 5: a component whose diameter exceeds the
     label_prop round budget (path graph of 30 nodes > _CC_MAX_ITERS=25
