@@ -168,9 +168,27 @@ def stream_dedup_neardup(docs: DataFrame,
     - chains A<B<C where B loses a bucket to A but still out-claims C
       drop both B and C — conservative transitive behavior, same as
       the batch canonical-per-cluster policy.
+    - state: the claim keeps ``struct(doc_id, text)`` per live bucket
+      so the winner's payload can reach the sink without a
+      stream-stream join — O(bands × doc bytes) per bucket per open
+      window. For very large documents, claim ``doc_id`` alone and
+      rejoin payloads from the store downstream.
     """
+    counted = _neardup_band_counts(docs, watermark, window)
+    from parsee_pdf_reader_spark.operators.dedup import _BANDS
+
+    return (counted.where(F.col("n_bands") == _BANDS)
+            .select("window_start", "doc_id", "text"))
+
+
+def _neardup_band_counts(docs: DataFrame, watermark: str,
+                         window: str) -> DataFrame:
+    """Shared claims core of the two near-dup stream variants:
+    explode to bands, min-claim each (window, b, band_hash) bucket,
+    count winning bands per doc -> (window_start, doc_id, text,
+    n_bands)."""
     from parsee_pdf_reader_spark.operators.dedup import (
-        _BANDS, minhash_band_hashes,
+        minhash_band_hashes,
     )
 
     banded = docs.select(
@@ -190,8 +208,8 @@ def stream_dedup_neardup(docs: DataFrame,
                        F.col("winner.doc_id").alias("doc_id"),
                        F.col("winner.text").alias("text"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
-        .where(F.col("n_bands") == _BANDS)
-        .select(F.col("w.start").alias("window_start"), "doc_id", "text")
+        .select(F.col("w.start").alias("window_start"),
+                "doc_id", "text", "n_bands")
     )
 
 
@@ -209,31 +227,12 @@ def stream_dedup_neardup_audit(docs: DataFrame,
     does not appear here; the claim state only carries winners. The
     batch pass over the same raw input remains the completeness
     backstop, which is how LSH dedup is deployed anyway.)"""
-    from parsee_pdf_reader_spark.operators.dedup import (
-        _BANDS, minhash_band_hashes,
-    )
+    from parsee_pdf_reader_spark.operators.dedup import _BANDS
 
-    banded = docs.select(
-        "doc_id", "ingest_ts", "text",
-        F.explode(minhash_band_hashes("text")).alias("bh"),
-    ).select("doc_id", "ingest_ts", "text",
-             F.col("bh.b").alias("b"),
-             F.col("bh.band_hash").alias("band_hash"))
-    claims = (
-        banded.withWatermark("ingest_ts", watermark)
-        .groupBy(F.window("ingest_ts", window).alias("w"),
-                 "b", "band_hash")
-        .agg(F.min(F.struct("doc_id", "text")).alias("winner"))
-    )
-    return (
-        claims.groupBy("w",
-                       F.col("winner.doc_id").alias("doc_id"),
-                       F.col("winner.text").alias("text"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .select(F.col("w.start").alias("window_start"), "doc_id",
-                "text", "n_bands",
-                (F.col("n_bands") == _BANDS).alias("survived"))
-    )
+    counted = _neardup_band_counts(docs, watermark, window)
+    return counted.select(
+        "window_start", "doc_id", "text", "n_bands",
+        (F.col("n_bands") == _BANDS).alias("survived"))
 
 
 def run_stream_neardup(spark: SparkSession, input_dir: str,
