@@ -11,3 +11,4 @@ from parsee_pdf_reader_spark.operators import curation  # noqa: F401
 from parsee_pdf_reader_spark.operators import multimodal  # noqa: F401
 from parsee_pdf_reader_spark.operators import html_extract  # noqa: F401
 from parsee_pdf_reader_spark.plans import relational_extra  # noqa: F401
+from parsee_pdf_reader_spark.operators import evaluation  # noqa: F401

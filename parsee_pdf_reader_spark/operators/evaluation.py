@@ -25,6 +25,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from parsee_pdf_reader_spark.plans.queries import _t
+
 
 def plant_near_dup_corpus(spark: SparkSession, docs: DataFrame,
                           out_dir: str, n_families: int = 12
@@ -127,3 +129,121 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str,
             F.round(F.col("n_found") / F.col("n_eligible"), 4)
             .alias("recall")))
     return reduce(lambda a, b: a.unionByName(b), reports)
+
+
+# ---------------------------------------------------------------------------
+# gate-registered recall invariant: the query AUGMENTS the corpus with
+# planted exact duplicates (doc_id + 1,000,000 copies of the first 30
+# docs) IN BOTH ENGINES IDENTICALLY, then asserts every candidate
+# generator finds 100% of the planted pairs — identical text means
+# identical shingles, identical MinHash signatures, and identical
+# SimHash (hamming 0), so recall must be exactly 1.0. This puts the
+# recall harness itself under the driver's cross-engine gate: a future
+# change that breaks any generator's self-match property (hashing,
+# banding, join keys) flips the recall column and the gate goes red.
+# (The raw test tables carry no exact dups, so the truth is planted
+# rather than discovered; near-dup truths would be circular — the
+# verified-pair set is derived FROM the minhash candidates.)
+# ---------------------------------------------------------------------------
+
+_PLANT_N = 30          # plant copies of doc_id < 30
+_PLANT_OFFSET = 1000000
+
+
+def _on_aug(sql: str) -> str:
+    """Retarget a registered twin's SQL at the augmented corpus: the
+    twins read `from documents`; the recall twin evaluates them over
+    the planted-duplicates CTE instead. Controlled replacement — both
+    SQL texts are generated in this repo and reference no other
+    relation."""
+    out = sql.replace("from documents", "from aug")
+    assert "from documents" not in out and "from aug" in out
+    return out
+
+
+def _recall_sql() -> str:
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _MINHASH_PAIRS_SQL, _sh_pairs_sql,
+    )
+
+    methods = [
+        ("minhash_lsh", _on_aug(_MINHASH_PAIRS_SQL)),
+        ("simhash_wide_bands", _on_aug(_sh_pairs_sql(63, 16, 3))),
+    ]
+    parts = []
+    for label, method_sql in methods:
+        parts.append(f"""
+        select '{label}' as method,
+               (select count(*) from truth) as n_truth,
+               (select count(*)
+                from truth t
+                join ({method_sql}) m
+                  on m.doc_a = t.doc_a and m.doc_b = t.doc_b) as n_found
+        """)
+    body = " union all ".join(parts)
+    return f"""
+    with aug as (
+      select doc_id, text from documents
+      union all
+      select doc_id + {_PLANT_OFFSET} as doc_id, text
+      from documents where doc_id < {_PLANT_N}
+    ),
+    truth as (
+      select doc_id as doc_a, doc_id + {_PLANT_OFFSET} as doc_b
+      from documents where doc_id < {_PLANT_N}
+    )
+    select method, n_truth, n_found,
+           round(n_found / cast(n_truth as double), 4) as recall
+    from ({body}) r
+    """
+
+
+def q_dedup_recall_exact_dups(spark, sf_dir):
+    """Per-generator recall over planted exact duplicates (see module
+    comment): one row per candidate generator with n_truth, n_found,
+    recall — the gate asserts the full table hash, so recall must be
+    1.0 in BOTH engines for every method.
+
+    Scale: the augmentation is a union of a filtered slice (no
+    shuffle); each method contributes a semi-join of the (small) truth
+    pair set against its candidate pairs plus two 1-row aggregates.
+    The per-method generators carry their own already-audited plans."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        minhash_pairs_df, simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted_src = docs.where(F.col("doc_id") < _PLANT_N)
+    aug = docs.unionByName(planted_src.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"))
+    truth = planted_src.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_b"))
+    methods = [
+        ("minhash_lsh", lambda: minhash_pairs_df(aug)),
+        ("simhash_wide_bands",
+         lambda: simhash_near_pairs(aug, nbits=63, band_bits=16,
+                                    max_ham=3)),
+    ]
+    outs = []
+    for name, mk in methods:
+        pairs = mk().select("doc_a", "doc_b")
+        found = truth.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        stats = (truth.agg(F.count(F.lit(1)).alias("n_truth"))
+                 .crossJoin(found.agg(
+                     F.count(F.lit(1)).alias("n_found"))))
+        outs.append(stats.select(
+            F.lit(name).alias("method"), "n_truth", "n_found",
+            F.round(F.col("n_found") / F.col("n_truth"), 4)
+            .alias("recall")))
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+def _register_recall_row():
+    from parsee_pdf_reader_spark.plans.queries import register
+
+    register("dedup_recall_exact_dups",
+             _recall_sql())(q_dedup_recall_exact_dups)
+
+
+_register_recall_row()

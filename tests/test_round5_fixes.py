@@ -261,6 +261,21 @@ def test_dedup_stack_planted_recall(spark, tmp_path):
     assert report["simhash_wide_bands"].n_eligible >= 4
 
 
+def test_dedup_recall_exact_dups_invariant(spark):
+    """The gate-registered recall invariant: planted exact duplicates
+    must be found by every candidate generator with recall exactly
+    1.0 (identical text -> identical signatures -> same bands)."""
+    from parsee_pdf_reader_spark.operators.evaluation import (
+        q_dedup_recall_exact_dups,
+    )
+
+    rows = {r.method: r for r in
+            q_dedup_recall_exact_dups(spark, SF).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash_wide_bands"}
+    for r in rows.values():
+        assert r.n_truth == 30 and r.n_found == 30 and r.recall == 1.0
+
+
 def test_corpus_sample_deterministic_and_stratified(spark):
     """r5 sampling plan: decisions are a pure function of doc_id (two
     runs identical), per-language keep fractions track the configured
