@@ -35,7 +35,7 @@ from typing import List, Optional
 
 from pyspark.sql import SparkSession, functions as F
 
-from parsee_pdf_reader_spark.pipeline import extract_pages
+from parsee_pdf_reader_spark.pipeline import extract_pages, read_pages
 
 PROGRESS_SCHEMA = ("run_id string, part string, status string, "
                    "rows_in long, rows_out long, errors long, "
@@ -108,7 +108,7 @@ class CheckpointedExtraction:
                 return vals
         return [
             str(r.p)
-            for r in self.spark.read.parquet(self.input_path)
+            for r in read_pages(self.spark, self.input_path)
             .select(F.expr(expr).cast("string").alias("p"))
             .distinct().collect()
         ]
@@ -152,7 +152,7 @@ class CheckpointedExtraction:
         for this input (driver-side, a handful of rows — no executor
         scan of the data). Distinct dirs can collapse to one canonical
         value (p=7 and p=007): dedupe, preserving order."""
-        dtype = self.spark.read.parquet(self.input_path).schema[col].dataType
+        dtype = read_pages(self.spark, self.input_path).schema[col].dataType
         one_col = self.spark.createDataFrame(
             [(v,) for v in vals], "v string")
         canon = [
@@ -178,7 +178,7 @@ class CheckpointedExtraction:
 
         for part in pending:
             t0 = time.time()
-            src = self.spark.read.parquet(self.input_path).where(
+            src = read_pages(self.spark, self.input_path).where(
                 F.expr(self.partition_expr).cast("string") == part)
             # rows_in comes from an Observation on the extraction's own
             # scan — NO separate count() pass over the input (at 100 TB

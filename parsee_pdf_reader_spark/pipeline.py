@@ -241,6 +241,20 @@ def rebalance_by_size(pages_df: DataFrame, partitions: int,
     return pages_df.repartition(partitions + giant_slots, key)
 
 
+def read_pages(spark, source: str) -> DataFrame:
+    """Read the pages input, dispatching like :func:`resolve_sink`'s
+    mirror: a PATH (``/`` or URI scheme) reads parquet; anything else
+    is a TABLE identifier read through ``spark.read.table`` — which
+    resolves session-catalog names and configured Iceberg catalogs
+    alike, keeps hidden-partitioning pruning (``days(warc_ts)``) and
+    snapshot isolation on Iceberg, and raises Spark's own
+    TABLE_OR_VIEW_NOT_FOUND for a bad identifier (no silent parquet
+    guess)."""
+    if "/" in source or "://" in source:
+        return spark.read.parquet(source)
+    return spark.read.table(source)
+
+
 def resolve_sink(spark, target: str):
     """Sink dispatch (VERDICT r4 item 6): the north rule names Iceberg
     as the production sink; this sandbox has no Iceberg runtime, so
@@ -297,9 +311,10 @@ def run_extraction(spark, input_path: str, output_path: str,
                    min_rows: int = 2, min_cols: int = 1) -> DataFrame:
     """End-to-end batch: read -> (filter) -> (rebalance) -> kernel ->
     partitioned sink (parquet dir or Iceberg table, see
-    :func:`write_partitioned`). Filters are applied before the kernel
-    so they reach the scan (predicate pushdown + partition pruning)."""
-    df = spark.read.parquet(input_path)
+    :func:`read_pages` / :func:`write_partitioned`). Filters are
+    applied before the kernel so they reach the scan (predicate
+    pushdown + partition pruning)."""
+    df = read_pages(spark, input_path)
     if lang:
         df = df.where(F.col("lang") == lang)
     if partitions:
