@@ -24,9 +24,16 @@ PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
              "lang string")
 
 
-def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+def stream_extract(spark: SparkSession, input_dir: str, target: str,
                    checkpoint_dir: str, available_now: bool = True):
-    """Incremental extraction over a growing parquet directory."""
+    """Incremental extraction over a growing parquet directory.
+
+    ``target`` dispatches like the batch sink (``pipeline.
+    write_partitioned``): a path appends parquet files; a table
+    identifier streams into the catalog table via ``toTable`` — on
+    Iceberg that is the transactional streaming-append path (each
+    micro-batch commits a snapshot), in-sandbox it exercises the same
+    code against the session catalog."""
     src = (
         spark.readStream.schema(PAGES_DDL)
         .option("maxFilesPerTrigger", "16")
@@ -35,13 +42,14 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     out = extract_pages(src)
     writer = (
         out.writeStream.format("parquet")
-        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if "/" in target or "://" in target:
+        return writer.option("path", target).start()
+    return writer.toTable(target)
 
 
 def stream_event_window_counts(events: DataFrame,
