@@ -513,3 +513,106 @@ def q_doc_repetition_stats(spark, sf_dir):
                     F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
                     .alias("top_word_share"),
                     dup.alias("dup_2gram_frac")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (r5): the C4/Dolma-style scrub a pretraining pipeline
+# runs before release — emails, IPv4 addresses, and phone-shaped
+# number runs replaced with typed placeholder tokens, with per-doc hit
+# counts so the curation layer can threshold on PII density. Patterns
+# are restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree exactly: character classes, bounded repetition, \b,
+# no lookaround, no ambiguous alternation — the cross-engine gate
+# hash-checks the FULL redacted text, so any semantic drift between
+# the engines turns the row red.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d ()-]{6,}\d"
+
+
+@register(
+    "text_redact_pii",
+    f"""
+    select doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) as n_emails,
+           len(regexp_extract_all(text, '{_PII_IPV4}')) as n_ipv4,
+           len(regexp_extract_all(
+                 regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}')) as n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') as redacted
+    from documents
+    """,
+)
+def q_text_redact_pii(spark, sf_dir):
+    """Typed PII redaction with per-doc counts. Application order is
+    fixed (email -> ipv4 -> phone) in BOTH engines: emails and IPs
+    contain digit runs a phone pattern could swallow, so the phone
+    count is measured on the already-email/IP-redacted text.
+
+    Scale: pure projection, zero shuffles; regexp_replace runs inside
+    whole-stage codegen on the JVM."""
+    docs = _t(spark, sf_dir, "documents")
+    after_email = F.regexp_replace("text", _PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, _PII_IPV4, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0))
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(_PII_PHONE), 0))
+        .alias("n_phones"),
+        F.regexp_replace(after_ip, _PII_PHONE, "<PHONE>")
+        .alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation (r5): doc -> (doc_id, sent_idx, sentence) —
+# the unit downstream stages want for windowed decontamination,
+# sentence-level dedup, and seq-len bucketing. Terminator-split
+# ([.!?]+ followed by whitespace) — deliberately simple and identical
+# in both engines (no lookbehind: RE2 has none).
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT = r"[.!?]+\s+"
+
+
+@register(
+    "doc_sentences",
+    f"""
+    select doc_id, cast(u.i as int) as sent_idx,
+           u.s as sentence, length(u.s) as n_chars
+    from (
+      select doc_id,
+             unnest(list_transform(
+               range(len(string_split_regex(text, '{_SENT_SPLIT}'))),
+               i -> struct_pack(
+                 i := i,
+                 s := trim(string_split_regex(
+                        text, '{_SENT_SPLIT}')[i + 1])))) as u
+      from documents) t
+    where u.s <> ''
+    """,
+)
+def q_doc_sentences(spark, sf_dir):
+    """Exploded sentence table with stable per-doc ordinals.
+
+    Scale: one generate (posexplode) over a projection — no shuffle;
+    the ordinal comes from the split position, not a window, so the
+    operation is embarrassingly parallel at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.split("text", _SENT_SPLIT)
+    return (docs.select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "raw"))
+        .select("doc_id", "sent_idx",
+                F.trim("raw").alias("sentence"))
+        .where(F.col("sentence") != "")
+        .withColumn("n_chars", F.length("sentence")))

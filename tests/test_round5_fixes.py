@@ -326,6 +326,49 @@ def test_dedup_recall_exact_dups_invariant(spark):
         assert r.n_truth == 30 and r.n_found == 30 and r.recall == 1.0
 
 
+def test_pii_redaction_behavior(spark, tmp_path):
+    """r5 PII scrub: emails/IPs/phones replaced with typed tokens,
+    counts accurate, application order prevents the phone pattern
+    from swallowing already-redacted digit runs."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_text_redact_pii,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (1, "contact jane.doe+x@ex-ample.org or 10.0.255.7 today"),
+        (2, "call +1 415 555 0199 or (020) 7946-0958 now"),
+        (3, "no pii here at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in q_text_redact_pii(spark, d).collect()}
+    assert got[1].n_emails == 1 and got[1].n_ipv4 == 1
+    assert "<EMAIL>" in got[1].redacted and "<IP>" in got[1].redacted
+    assert "@" not in got[1].redacted
+    assert got[2].n_phones >= 1 and "<PHONE>" in got[2].redacted
+    assert got[3].redacted == rows[2][1]
+    assert got[3].n_emails == got[3].n_ipv4 == got[3].n_phones == 0
+
+
+def test_doc_sentences_ordinals(spark, tmp_path):
+    """r5 sentence segmentation: stable 0-based ordinals from split
+    position, terminators stripped, empties dropped."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_doc_sentences,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "One two. Three four! Five?  Six")],
+        "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = sorted((r.sent_idx, r.sentence)
+                 for r in q_doc_sentences(spark, d).collect())
+    assert got == [(0, "One two"), (1, "Three four"),
+                   (2, "Five"), (3, "Six")]
+
+
 def test_corpus_sample_deterministic_and_stratified(spark):
     """r5 sampling plan: decisions are a pure function of doc_id (two
     runs identical), per-language keep fractions track the configured
