@@ -351,6 +351,68 @@ def test_pii_redaction_behavior(spark, tmp_path):
     assert got[3].n_emails == got[3].n_ipv4 == got[3].n_phones == 0
 
 
+def test_pii_redaction_matches_python_re(spark, tmp_path):
+    """Randomized cross-check: Spark's (Java-regex) redaction must
+    byte-match a pure-Python `re` reference on 80 seeded strings mixing
+    emails, IPs, phone runs, and near-miss noise — the driver gate
+    corpus contains no real PII, so this test carries the semantic
+    load for PII-shaped inputs. The patterns are restricted to the
+    Java/RE2/`re`-agreeing subset, and this proves it empirically for
+    Java vs `re` (the gate proves Java vs RE2 on clean text)."""
+    import random
+    import re as pyre
+
+    from parsee_pdf_reader_spark.operators.textstats import (
+        _PII_EMAIL, _PII_IPV4, _PII_PHONE, q_text_redact_pii,
+    )
+
+    rng = random.Random(7)
+    frags = [
+        "plain words here", "a.b+c_d@mail-host.example.com",
+        "user@sub.domain.org", "not@an@email", "10.0.0.1",
+        "999.999.1.2", "1.2.3.4.5", "+44 20 7946 0958",
+        "(415) 555-0199", "12345", "v1.2.3", "x@y.z",
+        "tel: 0049 (0)30 123456", "a@b.co", "semver 10.20.30",
+        "... 172.16.254.3 ...", "+-+-", "e@e.ee e@e.ee",
+    ]
+    rows = []
+    for i in range(80):
+        k = rng.randint(1, 6)
+        rows.append((i, " ".join(rng.choice(frags) for _ in range(k))))
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in q_text_redact_pii(spark, d).collect()}
+
+    for i, text in rows:
+        t1 = pyre.sub(_PII_EMAIL, "<EMAIL>", text)
+        t2 = pyre.sub(_PII_IPV4, "<IP>", t1)
+        want = pyre.sub(_PII_PHONE, "<PHONE>", t2)
+        g = got[i]
+        assert g.redacted == want, (text, g.redacted, want)
+        assert g.n_emails == len(pyre.findall(_PII_EMAIL, text))
+        assert g.n_ipv4 == len(pyre.findall(_PII_IPV4, text))
+        assert g.n_phones == len(pyre.findall(_PII_PHONE, t2))
+
+    # and the RE2 engine (DuckDB twin) agrees on the SAME pii-laden
+    # corpus — the driver gate only ever feeds it clean synth text
+    import duckdb
+
+    from parsee_pdf_reader_spark.plans.queries import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"parquet_scan('{os.path.join(d, 'documents.parquet')}"
+        "/*.parquet')")
+    duck = {r[0]: r for r in con.execute(
+        REGISTRY["text_redact_pii"][1]).fetchall()}
+    for i, _text in rows:
+        g = got[i]
+        assert duck[i][1:] == (g.n_emails, g.n_ipv4, g.n_phones,
+                               g.redacted), (i, duck[i], g)
+
+
 def test_doc_sentences_ordinals(spark, tmp_path):
     """r5 sentence segmentation: stable 0-based ordinals from split
     position, terminators stripped, empties dropped."""
