@@ -501,3 +501,64 @@ def kmeans_assign_df(emb, k=_KM_K, rounds=1):
             cs = cs.localCheckpoint(eager=False)
     return assign(cs).select(
         "vec_id", "cluster", F.round("dist", 6).alias("dist"))
+
+
+def _kmeans_sql(rounds: int) -> str:
+    """DuckDB twin of ``kmeans_assign_df`` at any round count: the
+    single-round oracle's (assign -> decimal-exact update) block is a
+    mechanical template, repeated ``rounds`` times (r4 backlog item).
+    The same determinism tricks apply per round — quantized inputs,
+    decimal(20,6) centroid sums, sequential distance folds."""
+    parts = [f"""q as (
+      select vec_id, {_KM_Q_SQL} as v from embeddings
+    )""", f"""c0 as (
+      select vec_id as cluster, v as c from q where vec_id < {_KM_K}
+    )"""]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(f"""a{r} as (
+      select vec_id, v, cluster from (
+        select q.vec_id, q.v, {prev}.cluster,
+               row_number() over (partition by q.vec_id order by
+                 {_KM_DIST_SQL.format(v='q.v', c=prev + '.c')},
+                 {prev}.cluster) as rnk
+        from q cross join {prev}) t
+      where rnk = 1
+    )""")
+        parts.append(f"""dims{r} as (
+      select cluster,
+             unnest(list_transform(range(len(v)),
+                    i -> {{'i': i, 'x': v[i+1]}}), recursive := true)
+      from a{r}
+    )""")
+        parts.append(f"""sums{r} as (
+      select cluster, i, sum(cast(x as decimal(20,6))) as s,
+             count(*) as n
+      from dims{r} group by 1, 2
+    )""")
+        parts.append(f"""c{r} as (
+      select cluster, list(s::double / n order by i) as c
+      from sums{r} group by 1
+    )""")
+    last = f"c{rounds}"
+    return f"""
+    with {', '.join(parts)}
+    select vec_id, cluster, round(dist, 6) as dist from (
+      select q.vec_id, {last}.cluster,
+             {_KM_DIST_SQL.format(v='q.v', c=last + '.c')} as dist,
+             row_number() over (partition by q.vec_id order by
+               {_KM_DIST_SQL.format(v='q.v', c=last + '.c')},
+               {last}.cluster) as rnk
+      from q cross join {last}) t
+    where rnk = 1
+    """
+
+
+@register("kmeans_assign_r3", _kmeans_sql(3))
+def q_kmeans_assign_r3(spark, sf_dir):
+    """Three-round Lloyd refinement, gate-checked against the
+    generated three-round DuckDB unroll — proves the parameterized
+    ``rounds`` path end to end (the r=1 row pins the base template;
+    this row pins that iteration composes without cross-engine float
+    drift)."""
+    return kmeans_assign_df(_t(spark, sf_dir, "embeddings"), rounds=3)

@@ -326,6 +326,28 @@ def test_dedup_recall_exact_dups_invariant(spark):
         assert r.n_truth == 30 and r.n_found == 30 and r.recall == 1.0
 
 
+def test_kmeans_r3_refines_beyond_r1(spark):
+    """r5: the three-round gate row is non-vacuous — iteration moves a
+    meaningful fraction of assignments past the one-round oracle, and
+    total within-cluster distance does not increase (Lloyd
+    monotonicity on the same seed)."""
+    from pyspark.sql import functions as F
+
+    from parsee_pdf_reader_spark.operators.similarity import (
+        q_kmeans_assign, q_kmeans_assign_r3,
+    )
+
+    r1 = {r.vec_id: (r.cluster, r.dist)
+          for r in q_kmeans_assign(spark, SF).collect()}
+    r3 = {r.vec_id: (r.cluster, r.dist)
+          for r in q_kmeans_assign_r3(spark, SF).collect()}
+    assert set(r1) == set(r3)
+    moved = sum(1 for k in r1 if r1[k][0] != r3[k][0])
+    assert moved > 0
+    assert sum(d for _c, d in r3.values()) <= \
+        sum(d for _c, d in r1.values()) + 1e-6
+
+
 def test_pii_redaction_behavior(spark, tmp_path):
     """r5 PII scrub: emails/IPs/phones replaced with typed tokens,
     counts accurate, application order prevents the phone pattern
