@@ -453,6 +453,30 @@ def test_doc_sentences_ordinals(spark, tmp_path):
                    (2, "Five"), (3, "Six")]
 
 
+def test_sentence_boilerplate_flags_planted_template(spark, tmp_path):
+    """r5 C4-style line dedup signal: a sentence planted across >= 3
+    docs is boilerplate; unique sentences are not. (The synth gate
+    corpus has no cross-doc repeated sentences, so this test carries
+    the behavioral load.)"""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_sentence_boilerplate,
+    )
+
+    d = str(tmp_path)
+    nav = "Subscribe to our newsletter today."
+    rows = [(i, f"{nav} Unique body text number {i} here.")
+            for i in range(5)]
+    rows.append((99, "Totally standalone document. Two sentences."))
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in
+           q_sentence_boilerplate(spark, d).collect()}
+    for i in range(5):
+        assert got[i].n_sents == 2 and got[i].n_boiler == 1
+        assert abs(got[i].boiler_frac - 0.5) < 1e-9
+    assert got[99].n_boiler == 0 and got[99].boiler_frac == 0.0
+
+
 def test_corpus_sample_deterministic_and_stratified(spark):
     """r5 sampling plan: decisions are a pure function of doc_id (two
     runs identical), per-language keep fractions track the configured
