@@ -681,3 +681,65 @@ def q_sentence_boilerplate(spark, sf_dir):
                  F.round(F.sum(is_boiler)
                          / F.count(F.lit(1)).cast("double"), 6)
                  .alias("boiler_frac")))
+
+
+_PACK_BUDGET = 512   # tokens per packed training sequence
+_PACK_SHARDS = 64    # parallel packing shards
+
+
+@register(
+    "seq_pack_plan",
+    f"""
+    select doc_id, shard, n_tokens,
+           cast(floor(cum_before / {_PACK_BUDGET}) as bigint) as pack_id,
+           cast(cum_before - floor(cum_before / {_PACK_BUDGET})
+                * {_PACK_BUDGET} as bigint) as offset_in_pack
+    from (
+      select doc_id, shard, n_tokens,
+             cast(coalesce(sum(n_tokens) over (
+               partition by shard order by doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+               as bigint) as cum_before
+      from (
+        select doc_id,
+               doc_id % {_PACK_SHARDS} as shard,
+               cast(len({_TOKS_SQL}) as bigint) as n_tokens
+        from documents) t) w
+    """,
+)
+def q_seq_pack_plan(spark, sf_dir):
+    """Sequence-packing plan for training-batch assembly: docs are
+    greedily packed in doc_id order into fixed token-budget sequences
+    ({B} tokens), SHARD-PARALLEL — each of {S} shards packs
+    independently, which is how distributed packing actually runs (a
+    global greedy order would serialize the corpus through one
+    worker). A doc is never split; a pack may overflow by less than
+    one doc (the standard offline first-fit estimate). Output gives
+    every doc its (shard, pack_id, offset) so the materialization
+    stage can group-shuffle once on (shard, pack_id).
+
+    Scale: one window per shard key — ordered but shard-local, so no
+    global sort. S={S} suits the gate corpus; S is a SIZING PARAMETER
+    like shuffle.partitions — each shard streams ~n/S rows through one
+    window task, so at 10^12 docs set S ~ 10^5 (≈10^7 rows/task,
+    spill-safe) — the plan shape is S-invariant. (doc_id%S rather
+    than pmod(xxhash64) keeps the DuckDB twin trivially identical;
+    production hashes for id-skew immunity, same plan.)"""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks_lower()
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w),
+                            F.lit(0)).cast("long")
+    pack = F.floor(cum_before / _PACK_BUDGET).cast("long")
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        pack.alias("pack_id"),
+        (cum_before - pack * _PACK_BUDGET).cast("long")
+        .alias("offset_in_pack"))

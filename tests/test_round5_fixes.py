@@ -477,6 +477,37 @@ def test_sentence_boilerplate_flags_planted_template(spark, tmp_path):
     assert got[99].n_boiler == 0 and got[99].boiler_frac == 0.0
 
 
+def test_seq_pack_plan_invariants(spark):
+    """r5 sequence packing: per shard, docs fill packs greedily in
+    doc_id order — offsets stay under the budget, packs never exceed
+    budget + one doc's tokens (docs are unsplit), pack ids are
+    monotone in doc_id, and every doc appears exactly once."""
+    from collections import defaultdict
+
+    from parsee_pdf_reader_spark.operators.textstats import (
+        _PACK_BUDGET, q_seq_pack_plan,
+    )
+
+    rows = q_seq_pack_plan(spark, SF).collect()
+    n_docs = (spark.read.parquet(f"{SF}/documents.parquet").count())
+    assert len(rows) == n_docs
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.offset_in_pack < _PACK_BUDGET
+        by_shard[r.shard].append(r)
+    packs = defaultdict(int)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        last_pack = -1
+        for r in rs:
+            assert r.pack_id >= last_pack  # monotone fill order
+            last_pack = r.pack_id
+            packs[(shard, r.pack_id)] += r.n_tokens
+    max_doc = max(r.n_tokens for r in rows)
+    assert max(packs.values()) < _PACK_BUDGET + max_doc
+    assert len(packs) > n_docs * 40 // _PACK_BUDGET  # non-degenerate
+
+
 def test_corpus_sample_deterministic_and_stratified(spark):
     """r5 sampling plan: decisions are a pure function of doc_id (two
     runs identical), per-language keep fractions track the configured

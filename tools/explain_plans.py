@@ -83,6 +83,9 @@ CHECKS = {
                              "groupBy(doc_id)"],
     "doc_sentences": ["no Exchange — posexplode over a projection, "
                       "ordinals from split position not a window"],
+    "seq_pack_plan": ["shard-local ordered window, no global sort; "
+                      "shard count is a sizing parameter (set "
+                      "~corpus/10^7 at scale)"],
 }
 
 
