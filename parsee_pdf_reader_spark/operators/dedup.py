@@ -79,6 +79,20 @@ def _shingles_sql(n: int = 3) -> str:
 
 _SHINGLES_SQL = _shingles_sql(3)
 
+def bind1(expr, fn):
+    """Evaluate ``expr`` ONCE and feed the result to ``fn`` (a Column
+    -> Column function): wraps the expression in a single-element
+    array, transforms over it, and extracts the element. Load-bearing
+    for every large higher-order-function expression in this module:
+    HOFs run interpreted (no whole-stage codegen, no cross-expression
+    CSE) and project collapse re-inlines a referenced column's
+    expression at EVERY reference — e.g. the r4 minhash signature
+    recomputed the shingle array once per signature slot (12x) and the
+    63-bit simhash recomputed md5(token) once per bit (63x). The
+    lambda variable, by contrast, is bound exactly once per row."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def shingles_col(toks, n: int = 3):
     """Distinct n-gram word shingles (Spark twin of
     ``_shingles_sql``) — n=3 is the canonical unit for MinHash
@@ -127,6 +141,23 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
+def minhash_sig_col(shingles):
+    """{K}-slot MinHash signature from a shingle-array expression —
+    slot j = min over shingles of md5("j:" + shingle). The shingle
+    expression is bound once via ``bind1`` (the r4 shape recomputed it
+    per slot: 12x)."""
+    return bind1(shingles, lambda sh: F.transform(
+        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"),
+                                         s)),
+            )
+        ),
+    ))
+
+
 def minhash_pairs_df(docs, id_col: str = "doc_id",
                      text_col: str = "text"):
     """DataFrame-in/DataFrame-out core of the LSH candidate stage:
@@ -144,19 +175,8 @@ def minhash_pairs_df(docs, id_col: str = "doc_id",
             )
         )
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
-    sigs = (
-        docs.select(F.col(id_col).alias("doc_id"), shingles.alias("sh"))
-        .select("doc_id", sig.alias("sig"))
-    )
+    sigs = docs.select(F.col(id_col).alias("doc_id"),
+                       minhash_sig_col(shingles).alias("sig"))
     band_idx = F.explode(
         F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")
     bands = sigs.select("doc_id", "sig", band_idx).select(
@@ -210,16 +230,10 @@ def minhash_band_hashes(text_col: str = "text"):
             )
         )
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
-    return F.transform(
+    # sig bound once: the r4 shape re-evaluated the signature (and its
+    # 12x shingle recompute) inside every band's lambda — 36 shingle
+    # evaluations per row on the streaming path
+    return bind1(minhash_sig_col(shingles), lambda sig: F.transform(
         F.sequence(F.lit(0), F.lit(_BANDS - 1)),
         lambda b: F.struct(
             b.cast("int").alias("b"),
@@ -231,7 +245,7 @@ def minhash_band_hashes(text_col: str = "text"):
                 )
             ).alias("band_hash"),
         ),
-    )
+    ))
 
 
 @register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
@@ -884,18 +898,12 @@ def q_dedup_verify_pipeline(spark, sf_dir):
             )
         )
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_SIG_K - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
+    # minhash_sig_col binds its input once; referencing the carried
+    # "sh" column costs one more shingle evaluation (2 total per row
+    # vs 13 in the r4 shape, which inlined shingles per slot)
     sigs = (
         docs.select("doc_id", shingles.alias("sh"))
-        .select("doc_id", "sh", sig.alias("sig"))
+        .select("doc_id", "sh", minhash_sig_col(F.col("sh")).alias("sig"))
     )
     bands = sigs.select(
         "doc_id", "sig",
