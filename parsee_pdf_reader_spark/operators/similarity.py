@@ -140,6 +140,29 @@ _BUCKET_SQL = f"""
 """
 
 
+_DIM_CAP = 256  # literalized plane/centroid components per plane;
+                # embeddings with more dims raise ANSI element_at OOB
+                # (raise the cap — plan-size cost is linear and folded)
+
+
+def _plane_component_py(j: int, i: int) -> float:
+    """Driver-side twin of the md5-derived plane component: first hex
+    nibble of md5('j:i') mapped to [-7.5, 7.5]."""
+    import hashlib
+
+    ch = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]
+    return float("0123456789abcdef".index(ch)) - 7.5
+
+
+def _centroid_component_py(c: int, i: int) -> float:
+    """Driver-side twin of the md5-derived IVF centroid component
+    (distinct 'ivf' salt)."""
+    import hashlib
+
+    ch = hashlib.md5(f"ivf{c}:{i}".encode()).hexdigest()[0]
+    return float("0123456789abcdef".index(ch)) - 7.5
+
+
 def lsh_bucket_col(nplanes=_NPLANES):
     """Random-hyperplane LSH bucket id over the ``embedding`` column
     as one codegen'd projection — md5-derived plane components, sign
@@ -154,19 +177,28 @@ def lsh_bucket_col(nplanes=_NPLANES):
     if not (1 <= nplanes <= 63):
         raise ValueError("nplanes must be in 1..63 (one signed long word)")
 
-    def plane_component(j, i):
-        ch = F.substring(
-            F.md5(F.concat(j.cast("string"), F.lit(":"),
-                           i.cast("string"))), 1, 1)
-        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
+    # The plane matrix is CONSTANT across rows, but the r4 shape
+    # re-derived every component with in-plan md5 per row — nplanes x
+    # dim interpreted md5 calls per vector (1,536/row at 24x64).
+    # Precompute it driver-side with hashlib (the md5 standard is the
+    # md5 standard: identical hex, identical components, so the DuckDB
+    # twin — which still derives its components in-query — stays
+    # hash-green) and embed as a foldable literal array: ConstantFolding
+    # collapses it to a single Literal, zero per-row hashing.
+    # Components are exact halves (k - 7.5), bit-identical as doubles.
+    planes_lit = F.array(*[
+        F.array(*[F.lit(_plane_component_py(j, i))
+                  for i in range(_DIM_CAP)])
+        for j in range(nplanes)])
 
     def plane_dot(j):
         n = F.size("embedding")
+        row = F.element_at(planes_lit, (j + 1).cast("int"))
         return F.aggregate(
             F.transform(
                 F.sequence(F.lit(0), n - 1),
                 lambda i: F.element_at("embedding", i + 1).cast("double")
-                * plane_component(j, i),
+                * F.element_at(row, (i + 1).cast("int")),
             ),
             F.lit(0.0), lambda acc, x: acc + x)
 
@@ -236,19 +268,21 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
 
-    def centroid_component(c, i):
-        ch = F.substring(
-            F.md5(F.concat(F.lit("ivf"), c.cast("string"), F.lit(":"),
-                           i.cast("string"))), 1, 1)
-        return (F.instr(F.lit("0123456789abcdef"), ch) - 1) - 7.5
+    # literalized centroid matrix (see lsh_bucket_col — same r5
+    # constant-folding rationale, hashlib == engine md5)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(_centroid_component_py(c, i))
+                  for i in range(_DIM_CAP)])
+        for c in range(_IVF_K)])
 
     def cell_dot(c):
         n = F.size("embedding")
+        row = F.element_at(cents_lit, (c + 1).cast("int"))
         return F.aggregate(
             F.transform(
                 F.sequence(F.lit(0), n - 1),
                 lambda i: F.element_at("embedding", i + 1).cast("double")
-                * centroid_component(c, i),
+                * F.element_at(row, (i + 1).cast("int")),
             ),
             F.lit(0.0), lambda acc, x: acc + x)
 
