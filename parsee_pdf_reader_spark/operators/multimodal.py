@@ -333,6 +333,8 @@ def q_media_byte_features(spark, sf_dir):
     results stay bit-identical; 1-based indexing with a
     ``greatest(i-1, 1)`` guard keeps ANSI element_at happy at the
     first position."""
+    from parsee_pdf_reader_spark.operators.dedup import bind1
+
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode("text", "utf-8")
     hx = F.hex(blob)
@@ -346,31 +348,52 @@ def q_media_byte_features(spark, sf_dir):
     bytes_arr = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: 16 * hexv(2 * i + 1) + hexv(2 * i + 2))
-    base = docs.select("doc_id", n.alias("n"),
-                       bytes_arr.alias("bytes")).where(F.col("n") > 0)
-    srt = F.array_sort("bytes")
-    starts = F.filter(
-        F.sequence(F.lit(1), F.col("n")),
-        lambda i: (i == 1) | (F.element_at(srt, i)
-                              != F.element_at(srt, F.greatest(
-                                  i - 1, F.lit(1)))))
-    with_runs = base.select(
-        "doc_id", "n", "bytes",
-        F.concat(starts, F.array(F.col("n") + 1)).alias("bounds"),
-        F.size(starts).alias("nruns"))
+    base = docs.select("doc_id", "text", n.alias("n")) \
+        .where(F.col("n") > 0)
     nd = F.col("n").cast("double")
-    mean = F.round(
-        F.aggregate("bytes", F.lit(0), lambda a, x: a + x) / nd, 4)
-    distinct_ratio = F.round(F.col("nruns") / nd, 6)
-    counts = F.transform(
-        F.sequence(F.lit(1), F.col("nruns")),
-        lambda j: F.element_at("bounds", (j + 1).cast("int"))
-        - F.element_at("bounds", j.cast("int")))
-    clogc = F.aggregate(
-        F.transform(counts,
-                    lambda c: c.cast("double") * F.log(c.cast("double"))),
-        F.lit(0.0), lambda a, x: a + x)
-    ent = F.round(F.log(nd) - clogc / nd, 6)
-    return with_runs.select("doc_id", "n", mean.alias("mean_byte"),
-                            distinct_ratio.alias("distinct_ratio"),
-                            ent.alias("entropy"))
+
+    # Every intermediate is bound exactly once (bind1): a Column
+    # captured inside a higher-order lambda is re-evaluated PER
+    # ELEMENT — the first r5 shape re-sorted the byte array inside the
+    # run-start filter's lambda, i.e. 256 sorts (each over a
+    # 256-element array it also rebuilt) per row: 203 s for 5000 rows
+    # at sf0.1, 12.5 s after this (the residue is the hex->byte
+    # decode, ~512 substring/instr ops per row). F.inline provides
+    # the Generate boundary so the whole chain is evaluated once per
+    # row even though three output columns read it.
+    def features(bytes_):
+        def with_sorted(srt):
+            def with_starts(starts):
+                def with_bounds(bounds):
+                    counts = F.transform(
+                        F.sequence(F.lit(1), F.size(starts)),
+                        lambda j: F.element_at(bounds, (j + 1)
+                                               .cast("int"))
+                        - F.element_at(bounds, j.cast("int")))
+                    clogc = F.aggregate(
+                        F.transform(counts, lambda c: c.cast("double")
+                                    * F.log(c.cast("double"))),
+                        F.lit(0.0), lambda a, x: a + x)
+                    return F.struct(
+                        F.round(F.aggregate(bytes_, F.lit(0),
+                                            lambda a, x: a + x) / nd, 4)
+                        .alias("mean_byte"),
+                        F.round(F.size(starts) / nd, 6)
+                        .alias("distinct_ratio"),
+                        F.round(F.log(nd) - clogc / nd, 6)
+                        .alias("entropy"))
+                return bind1(
+                    F.concat(starts, F.array(F.col("n") + 1)),
+                    with_bounds)
+            return bind1(
+                F.filter(
+                    F.sequence(F.lit(1), F.col("n")),
+                    lambda i: (i == 1) | (F.element_at(srt, i)
+                                          != F.element_at(
+                                              srt, F.greatest(
+                                                  i - 1, F.lit(1))))),
+                with_starts)
+        return bind1(F.array_sort(bytes_), with_sorted)
+
+    return base.select("doc_id", "n",
+                       F.inline(F.array(bind1(bytes_arr, features))))
