@@ -17,6 +17,16 @@ box noise).
 
 Set SPARK_GRAFT_BENCH_SCALING=1 to also run the two-parallelism scaling
 probe (local[8] vs local[32]) and include efficiency in the line.
+
+Scope (deliberate): the timed set is the extraction flagships plus the
+relational queries registered by plans/queries.py — NOT the full
+operator registry (the operators package is intentionally not imported
+here). The per-round correctness gate runs every registered operator
+cross-engine at sf0.01; per-operator wall times at sf0.1 are tracked
+by ad-hoc registry sweeps recorded in BENCH/BASELINE.md (round 5:
+"operator-perf wave" — the sweep is what exposed the HOF
+re-evaluation hazards). Keeping the headline set stable across rounds
+keeps BENCH_r{N} deltas comparable.
 """
 
 from __future__ import annotations
