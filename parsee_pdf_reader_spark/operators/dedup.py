@@ -634,9 +634,11 @@ _SIMHASH_SQL = _simhash_sql(16)
 
 def simhash_col(toks, nbits=16):
     """Frequency-weighted SimHash over a token-array column as one
-    codegen'd projection (nested aggregate over tokens per bit), bit i
-    drawn from nibble i//4 of md5(token) — identical arithmetic to the
-    DuckDB twin at nbits=16.
+    projection — a single fold over tokens carrying an nbits-wide
+    sign-sum accumulator (higher-order functions run interpreted, so
+    the r5 shape binds md5(token) once per token; see the comment
+    below), bit i drawn from nibble i//4 of md5(token) — identical
+    arithmetic to the DuckDB twin at nbits=16.
 
     ``nbits`` may be 1..63 (md5 supplies 128 derived bits; one signed
     long word holds 63 without overflow — Spark 4 runs ANSI mode, so a
