@@ -100,6 +100,36 @@ def test_tfidf_does_not_broadcast_vocabulary(spark):
                              if n_bcast else True), plan
 
 
+def test_hof_expressions_evaluated_once_per_row(spark):
+    """r5 perf-wave pin: large interpreted higher-order-function
+    expressions must appear in the optimized plan exactly once per
+    scan side — project collapse re-inlining them per reference (or a
+    captured Column re-evaluating per lambda element) multiplied
+    operator cost 5-60x before the bind1 fixes (BENCH/BASELINE.md
+    'operator-perf wave'). Occurrence counts of expression-unique
+    markers are a stable structural proxy."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        q_dedup_minhash_lsh, q_simhash_near_pairs_wide,
+    )
+    from parsee_pdf_reader_spark.operators.multimodal import (
+        q_media_byte_features,
+    )
+
+    def opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # one simhash fold per self-join side (the hex-digit table is
+    # unique to the hash arithmetic)
+    p = opt(q_simhash_near_pairs_wide(spark, SF))
+    assert p.count("0123456789abcdef") == 2, p.count("0123456789abcdef")
+    # one minhash signature (array_min over per-slot md5s) per side
+    p = opt(q_dedup_minhash_lsh(spark, SF))
+    assert p.count("array_min") == 2, p.count("array_min")
+    # the byte-feature chain sorts the byte array exactly once
+    p = opt(q_media_byte_features(spark, SF))
+    assert p.count("array_sort") == 1, p.count("array_sort")
+
+
 def test_topk_prereduces_before_priority_window(spark):
     """VERDICT r3 item 3: o_orderpriority has 5 values; the final
     ranked window may only ever see the <= 5*salt*k survivors of the
