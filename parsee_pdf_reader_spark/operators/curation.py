@@ -22,12 +22,14 @@ from pyspark.sql import functions as F
 from parsee_pdf_reader_spark.operators.dedup import q_dedup_canonical
 from parsee_pdf_reader_spark.operators.textstats import (
     q_doc_quality_scores,
+    q_sentence_boilerplate,
 )
 from parsee_pdf_reader_spark.plans.queries import REGISTRY, _t, register
 
 _LANGS = ("en", "de", "fr", "es")  # zh excluded at these thresholds
 _LEN_LO = 100
 _LEN_HI = 500
+_BOILER_MAX_FRAC = 0.3  # C4-style: reject docs dominated by dup lines
 
 _LANG_SQL = ", ".join(f"'{x}'" for x in _LANGS)
 
@@ -40,35 +42,84 @@ def _twin(name: str) -> str:
 
 @register(
     "corpus_keep_filter",
-    f"""
-    select d.doc_id,
-           c.keep as dedup_keep,
-           (q.quality_bucket <> 'low') as quality_ok,
-           (d.lang in ({_LANG_SQL})) as lang_ok,
-           (d.n_chars between {_LEN_LO} and {_LEN_HI}) as len_ok,
-           (c.keep and q.quality_bucket <> 'low'
-            and d.lang in ({_LANG_SQL})
-            and d.n_chars between {_LEN_LO} and {_LEN_HI}) as keep
-    from documents d
-    join ({_twin('dedup_canonical')}) c on c.doc_id = d.doc_id
-    join ({_twin('doc_quality_scores')}) q on q.doc_id = d.doc_id
-    """,
+    None,  # replaced below — needs the r5 operators' registered SQL
 )
 def q_corpus_keep_filter(spark, sf_dir):
+    """The shipped curation verdict (VERDICT r5 item 2): dedup +
+    quality + language + length + boilerplate + decontamination +
+    sampling, composed per document with every criterion kept as its
+    own flag so a rejected doc is explainable.
+
+    Per-criterion semantics:
+
+    - ``boiler_ok``: duplicated-sentence fraction (C4 line-dedup
+      signal) at most {BF}; docs with no sentence rows coalesce to 0.
+    - ``contam_ok``: NOT flagged by benchmark decontamination — and
+      the held-out suite itself (the gate's ``doc_id < 40`` slice,
+      which has no decontam row) is never shipped as training data,
+      so its missing row coalesces to False.
+    - ``sampled``: the deterministic per-language downsampling draw.
+
+    Scale: three more doc_id equi-joins over operators whose shapes
+    are already scale-audited (boilerplate: agg + shuffle_hash
+    join-back; decontam: broadcast bench + combinable agg; sample:
+    zero-shuffle projection); all joins share the doc_id partitioning
+    the existing composition pays. No new hot keys."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
     canon = q_dedup_canonical(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("dedup_keep"))
     qual = q_doc_quality_scores(spark, sf_dir).select(
         "doc_id", (F.col("quality_bucket") != "low").alias("quality_ok"))
+    boiler = q_sentence_boilerplate(spark, sf_dir).select(
+        "doc_id", "boiler_frac")
+    contam = q_decontam_ngram_overlap(spark, sf_dir).select(
+        "doc_id", "contaminated")
+    samp = q_corpus_sample(spark, sf_dir).select("doc_id", "sampled")
     lang_ok = F.col("lang").isin(*_LANGS)
     len_ok = (F.col("n_chars") >= _LEN_LO) & (F.col("n_chars") <= _LEN_HI)
+    boiler_ok = (F.coalesce(F.col("boiler_frac"), F.lit(0.0))
+                 <= _BOILER_MAX_FRAC)
+    contam_ok = F.coalesce(~F.col("contaminated"), F.lit(False))
     return (docs.join(canon, "doc_id").join(qual, "doc_id")
+            .join(boiler, "doc_id", "left")
+            .join(contam, "doc_id", "left")
+            .join(samp, "doc_id")
             .select(
                 "doc_id", "dedup_keep", "quality_ok",
                 lang_ok.alias("lang_ok"), len_ok.alias("len_ok"),
+                boiler_ok.alias("boiler_ok"),
+                contam_ok.alias("contam_ok"),
+                "sampled",
                 (F.col("dedup_keep") & F.col("quality_ok")
-                 & lang_ok & len_ok).alias("keep")))
+                 & lang_ok & len_ok & boiler_ok & contam_ok
+                 & F.col("sampled")).alias("keep")))
+
+
+def _keep_filter_sql() -> str:
+    return f"""
+    select d.doc_id,
+           c.keep as dedup_keep,
+           (q.quality_bucket <> 'low') as quality_ok,
+           (d.lang in ({_LANG_SQL})) as lang_ok,
+           (d.n_chars between {_LEN_LO} and {_LEN_HI}) as len_ok,
+           (coalesce(b.boiler_frac, 0) <= {_BOILER_MAX_FRAC})
+               as boiler_ok,
+           coalesce(not x.contaminated, false) as contam_ok,
+           s.sampled as sampled,
+           (c.keep and q.quality_bucket <> 'low'
+            and d.lang in ({_LANG_SQL})
+            and d.n_chars between {_LEN_LO} and {_LEN_HI}
+            and coalesce(b.boiler_frac, 0) <= {_BOILER_MAX_FRAC}
+            and coalesce(not x.contaminated, false)
+            and s.sampled) as keep
+    from documents d
+    join ({_twin('dedup_canonical')}) c on c.doc_id = d.doc_id
+    join ({_twin('doc_quality_scores')}) q on q.doc_id = d.doc_id
+    left join ({_twin('sentence_boilerplate')}) b on b.doc_id = d.doc_id
+    left join ({_twin('decontam_ngram_overlap')}) x on x.doc_id = d.doc_id
+    join ({_twin('corpus_sample')}) s on s.doc_id = d.doc_id
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -149,44 +200,54 @@ _DECON_MIN_HITS = 5      # absolute shingle-overlap trigger
 _DECON_FRAC = 0.2        # or >=20% of the doc's shingles
 
 
+def decontam_against(train_df, bench_df, n: int = _DECON_N,
+                     min_hits: int = _DECON_MIN_HITS,
+                     frac: float = _DECON_FRAC):
+    """Production decontamination API (VERDICT r5 item 4): flag every
+    training document whose word-``n``-gram shingles overlap the
+    held-out benchmark suite. ``train_df`` and ``bench_df`` are any
+    two DataFrames with (doc_id, text) columns — the benchmark side is
+    a genuinely separate table in production, not a doc_id slice of
+    the corpus.
+
+    Scale: the benchmark side is a FIXED small suite (thousands of
+    docs, ~10^5 distinct shingles at 100 TB too) -> distinct then
+    broadcast to the corpus scan; the corpus side is one explode + one
+    broadcast-hash semi-count + one groupBy(doc_id) (combinable,
+    high-cardinality key). No self-join, no shuffle of the corpus
+    shingle explosion beyond the doc_id agg."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _toks, shingles_col,
+    )
+
+    sh = shingles_col(_toks(), n)
+    bench = bench_df.select(F.explode(sh).alias("sh")).distinct()
+    cand = train_df.select("doc_id", F.explode(sh).alias("sh"))
+    hits = (cand.join(F.broadcast(bench), "sh")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    sizes = train_df.select("doc_id", F.size(sh).alias("n_shingles"))
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    fr = n_ov / F.col("n_shingles").cast("double")
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles", n_ov.alias("n_overlap"),
+                    F.round(fr, 6).alias("overlap_frac"),
+                    ((n_ov >= min_hits)
+                     | (fr >= frac)).alias("contaminated")))
+
+
 @register(
     "decontam_ngram_overlap",
     None,  # replaced below — needs dedup's shingle SQL
 )
 def q_decontam_ngram_overlap(spark, sf_dir):
-    """Training-vs-benchmark n-gram overlap: distinct 8-gram shingles
-    of the held-out set (doc_id < {B}) are matched against every
-    training doc's shingles; a doc is ``contaminated`` when the
-    overlap clears an absolute hit count or a fraction of its own
-    shingles.
-
-    Scale: the benchmark side is a FIXED small suite (thousands of
-    docs, ~10^5 shingles at 100 TB too) -> broadcast to the corpus
-    scan; the corpus side is one explode + one broadcast-hash
-    semi-count + one groupBy(doc_id) (combinable, high-cardinality
-    key). No self-join, no shuffle of the corpus shingle explosion
-    beyond the doc_id agg."""
-    from parsee_pdf_reader_spark.operators.dedup import (
-        _toks, shingles_col,
-    )
-
+    """Gate instantiation of :func:`decontam_against`: the held-out
+    suite is the deterministic ``doc_id < {B}`` slice of the documents
+    table (the driver needs a self-contained oracle); production
+    passes the real benchmark table as ``bench_df``."""
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles_col(_toks(), _DECON_N)
-    bench = (docs.where(F.col("doc_id") < _BENCH_MAX_ID)
-             .select(F.explode(sh).alias("sh")).distinct())
-    cand = (docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
-            .select("doc_id", F.explode(sh).alias("sh")))
-    hits = (cand.join(F.broadcast(bench), "sh")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
-    sizes = (docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
-             .select("doc_id", F.size(sh).alias("n_shingles")))
-    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
-    frac = n_ov / F.col("n_shingles").cast("double")
-    return (sizes.join(hits, "doc_id", "left")
-            .select("doc_id", "n_shingles", n_ov.alias("n_overlap"),
-                    F.round(frac, 6).alias("overlap_frac"),
-                    ((n_ov >= _DECON_MIN_HITS)
-                     | (frac >= _DECON_FRAC)).alias("contaminated")))
+    bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
+    train = docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
+    return decontam_against(train, bench)
 
 
 def _decontam_sql() -> str:
@@ -225,3 +286,12 @@ def _decontam_sql() -> str:
 
 REGISTRY["decontam_ngram_overlap"] = (
     q_decontam_ngram_overlap, _decontam_sql())
+
+# corpus_keep_filter's twin embeds the registered SQL of every
+# component it composes, two of which (sentence_boilerplate via the
+# textstats import, decontam above) only exist once this module is
+# fully loaded — so the twin is materialized last. The REGISTRY dict
+# keeps the original insertion position (value reassignment does not
+# reorder), so the driver-gate query order is unchanged.
+REGISTRY["corpus_keep_filter"] = (
+    q_corpus_keep_filter, _keep_filter_sql())

@@ -322,4 +322,7 @@ def run_extraction(spark, input_path: str, output_path: str,
     out = extract_pages(df, min_rows, min_cols)
     write_partitioned(out.withColumn("ds", F.to_date("warc_ts")),
                       spark, output_path)
-    return spark.read.parquet(output_path)
+    # Readback mirrors the sink dispatch (ADVICE r5): a table-identifier
+    # target must be read back through the catalog, not as a parquet
+    # path named "cat.db.table".
+    return read_pages(spark, output_path)

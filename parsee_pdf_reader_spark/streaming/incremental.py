@@ -131,7 +131,8 @@ def run_stream_dedup(spark: SparkSession, input_dir: str,
 
 def stream_dedup_neardup(docs: DataFrame,
                          watermark: str = "1 hour",
-                         window: str = "5 minutes") -> DataFrame:
+                         window: str = "5 minutes",
+                         keep_payload: bool = False) -> DataFrame:
     """Streaming MinHash near-dup filter (VERDICT r3 item 8) — the
     incremental twin of the batch ``dedup_minhash_lsh`` candidates:
 
@@ -176,54 +177,81 @@ def stream_dedup_neardup(docs: DataFrame,
     - chains A<B<C where B loses a bucket to A but still out-claims C
       drop both B and C — conservative transitive behavior, same as
       the batch canonical-per-cluster policy.
-    - state: the claim keeps ``struct(doc_id, text)`` per live bucket
-      so the winner's payload can reach the sink without a
-      stream-stream join — O(bands × doc bytes) per bucket per open
-      window. For very large documents, claim ``doc_id`` alone and
-      rejoin payloads from the store downstream.
+    - state (VERDICT r5 item 5 — payload-free claims are the DEFAULT):
+      with ``keep_payload=False`` a bucket claim is ``min(doc_id)``
+      alone, so claim state is O(bands × 8 bytes) per live bucket —
+      document size never enters the state store. The sink then holds
+      (window_start, doc_id) survivor keys; payloads are re-joined
+      downstream from the raw store (:func:`rejoin_payload`, a batch
+      doc_id equi-join, the shape production uses anyway because the
+      raw corpus is already durable). ``keep_payload=True`` restores
+      the r5 behavior (winner text rides the claim, O(bands × doc
+      bytes) state) for small-document streams that want a
+      single-query sink.
     """
-    counted = _neardup_band_counts(docs, watermark, window)
+    counted = _neardup_band_counts(docs, watermark, window,
+                                   keep_payload=keep_payload)
     from parsee_pdf_reader_spark.operators.dedup import _BANDS
 
+    cols = ["window_start", "doc_id"] + (["text"] if keep_payload
+                                         else [])
     return (counted.where(F.col("n_bands") == _BANDS)
-            .select("window_start", "doc_id", "text"))
+            .select(*cols))
 
 
 def _neardup_band_counts(docs: DataFrame, watermark: str,
-                         window: str) -> DataFrame:
+                         window: str,
+                         keep_payload: bool = False) -> DataFrame:
     """Shared claims core of the two near-dup stream variants:
     explode to bands, min-claim each (window, b, band_hash) bucket,
-    count winning bands per doc -> (window_start, doc_id, text,
-    n_bands)."""
+    count winning bands per doc -> (window_start, doc_id, [text,]
+    n_bands). ``keep_payload`` controls whether the winner's text
+    rides the claim state (see ``stream_dedup_neardup``); min() over
+    struct(doc_id, ...) orders by doc_id first either way, so the
+    SAME winner is chosen on both paths."""
     from parsee_pdf_reader_spark.operators.dedup import (
         minhash_band_hashes,
     )
 
+    payload_cols = ["text"] if keep_payload else []
     banded = docs.select(
-        "doc_id", "ingest_ts", "text",
+        "doc_id", "ingest_ts", *payload_cols,
         F.explode(minhash_band_hashes("text")).alias("bh"),
-    ).select("doc_id", "ingest_ts", "text",
+    ).select("doc_id", "ingest_ts", *payload_cols,
              F.col("bh.b").alias("b"),
              F.col("bh.band_hash").alias("band_hash"))
     claims = (
         banded.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window).alias("w"),
                  "b", "band_hash")
-        .agg(F.min(F.struct("doc_id", "text")).alias("winner"))
+        .agg(F.min(F.struct("doc_id", *payload_cols)).alias("winner"))
     )
+    group_cols = [F.col(f"winner.{c}").alias(c)
+                  for c in ["doc_id", *payload_cols]]
     return (
-        claims.groupBy("w",
-                       F.col("winner.doc_id").alias("doc_id"),
-                       F.col("winner.text").alias("text"))
+        claims.groupBy("w", *group_cols)
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .select(F.col("w.start").alias("window_start"),
-                "doc_id", "text", "n_bands")
+                "doc_id", *payload_cols, "n_bands")
     )
+
+
+def rejoin_payload(survivors: DataFrame, docs: DataFrame) -> DataFrame:
+    """Batch payload re-join for the slim near-dup sink: survivor keys
+    (window_start, doc_id) from the payload-free stream joined back to
+    the durable raw corpus. One doc_id equi-join — docs are unique per
+    doc_id upstream, and the raw store a production pipeline ingests
+    from is already durable, so this recovers exactly the winner
+    payloads the r5 payload-carrying stream emitted, without ever
+    putting document bytes in streaming state."""
+    return survivors.join(docs.select("doc_id", "text"), "doc_id") \
+        .select("window_start", "doc_id", "text")
 
 
 def stream_dedup_neardup_audit(docs: DataFrame,
                                watermark: str = "1 hour",
-                               window: str = "5 minutes") -> DataFrame:
+                               window: str = "5 minutes",
+                               keep_payload: bool = False) -> DataFrame:
     """Audit variant of ``stream_dedup_neardup`` (ADVICE r4): emits
     EVERY doc that won at least one bucket with its winning-band count
     and a ``survived`` verdict, instead of silently filtering losers.
@@ -237,22 +265,28 @@ def stream_dedup_neardup_audit(docs: DataFrame,
     backstop, which is how LSH dedup is deployed anyway.)"""
     from parsee_pdf_reader_spark.operators.dedup import _BANDS
 
-    counted = _neardup_band_counts(docs, watermark, window)
+    counted = _neardup_band_counts(docs, watermark, window,
+                                   keep_payload=keep_payload)
+    cols = ["window_start", "doc_id"] + (["text"] if keep_payload
+                                         else [])
     return counted.select(
-        "window_start", "doc_id", "text", "n_bands",
+        *cols, "n_bands",
         (F.col("n_bands") == _BANDS).alias("survived"))
 
 
 def run_stream_neardup(spark: SparkSession, input_dir: str,
                        output_dir: str, checkpoint_dir: str,
-                       max_files_per_trigger: int = 4):
+                       max_files_per_trigger: int = 4,
+                       keep_payload: bool = False):
     """availableNow drain of the near-dup stream over a parquet dir.
     Append mode: a window's survivors land once the watermark passes
     its end (late data earlier than the watermark is ignored by
     design). ``max_files_per_trigger`` sets the micro-batch grain;
     batch grouping does NOT change the outcome — bucket claims are
     min(doc_id)-per-window, arrival-order-free (see
-    ``stream_dedup_neardup``)."""
+    ``stream_dedup_neardup``). The default sink is the slim
+    (window_start, doc_id) survivor-key table; recover payloads with
+    :func:`rejoin_payload` against the raw input dir."""
     src = (
         spark.readStream
         .schema("doc_id long, ingest_ts timestamp, text string, "
@@ -260,7 +294,7 @@ def run_stream_neardup(spark: SparkSession, input_dir: str,
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
-    out = stream_dedup_neardup(src)
+    out = stream_dedup_neardup(src, keep_payload=keep_payload)
     return (
         out.writeStream.format("parquet")
         .option("path", output_dir)

@@ -1,0 +1,300 @@
+"""Round-6 fix pins: every VERDICT-r5 / ADVICE-r5 item that changed
+behavior gets a targeted test here (the round-5 fix file is the
+template).
+
+Covered:
+- item 1: the driver-gate 50-query window contains the byte-identity
+  flagships and every must-check row (queries() ordering).
+- item 2: corpus_keep_filter carries the r5 signals (boiler/contam/
+  sample) with per-criterion explainability.
+- item 3: seq_pack_materialize invariants (budget, order, boundary
+  mask consistency).
+- item 4: decontam_against takes the benchmark suite as a second
+  DataFrame.
+- item 5: payload-free streaming claims are the default; batch
+  payload rejoin recovers winner text.
+- item 7: the two table-gate rows share one extraction (cells cache).
+- ADVICE medium: run_extraction readback goes through read_pages.
+- ADVICE low: SYMBOL_SPEC is injective (PUA construction glyphs).
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# item 1: gate-window ordering
+# ---------------------------------------------------------------------------
+
+def test_flagships_inside_driver_gate_window():
+    """The driver's correctness gate measures only the FIRST 50
+    queries() entries (observed in round 5). The byte-identity
+    flagships and the other must-check rows must sit inside that
+    window, and every tail row must be a registry twin that a measured
+    sibling subsumes."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    first50 = set(names[:50])
+    must = {
+        "extract_pages_flagship", "extract_pdf_flagship",
+        "extract_web_pages", "media_decode_stub",
+        "tables_df_format", "tables_df_pivot",
+        "salted_user_stats", "dedup_recall_exact_dups",
+        # this round's new measured rows
+        "seq_pack_materialize", "corpus_keep_filter",
+        "decontam_ngram_overlap",
+    }
+    missing = must - first50
+    assert not missing, f"must-check rows outside gate window: {missing}"
+    # flagships lead the dict so registry growth can never push them out
+    assert names[:6] == [
+        "extract_pages_flagship", "extract_pdf_flagship",
+        "extract_web_pages", "media_decode_stub",
+        "tables_df_format", "tables_df_pivot"]
+    # every tail row is a declared twin, still present (full inventory)
+    for tail in names[50:]:
+        assert tail in entrymod._TAIL_TWINS, tail
+    # and every declared twin still has an oracle (pytest parity runs it)
+    oracles = entrymod.oracle_sql()
+    for tail in entrymod._TAIL_TWINS:
+        assert tail in oracles
+
+
+# ---------------------------------------------------------------------------
+# item 7: shared cells computation for the two table-gate rows
+# ---------------------------------------------------------------------------
+
+def test_table_gate_rows_share_one_extraction(spark):
+    import __spark_entry__ as entrymod
+
+    entrymod._CELLS_CACHE.clear()
+    a = entrymod._tables_df_format(spark, SF)
+    assert len(entrymod._CELLS_CACHE) == 1
+    b = entrymod._tables_df_pivot(spark, SF)
+    # pivot reused the checkpointed cells — no second cache entry
+    assert len(entrymod._CELLS_CACHE) == 1
+    # the checkpointed plan contains no extraction stage (MapInArrow)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan
+    assert a.count() > 0 and b.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# item 2: extended curation verdict
+# ---------------------------------------------------------------------------
+
+def test_keep_filter_carries_r5_signals(spark):
+    from parsee_pdf_reader_spark.operators.curation import (
+        _BENCH_MAX_ID, q_corpus_keep_filter,
+    )
+
+    out = q_corpus_keep_filter(spark, SF)
+    cols = set(out.columns)
+    assert {"boiler_ok", "contam_ok", "sampled", "keep"} <= cols
+    rows = {r.doc_id: r for r in out.collect()}
+    # the held-out slice never ships as training data
+    bench_ids = [d for d in rows if d < _BENCH_MAX_ID]
+    assert bench_ids and all(not rows[d].contam_ok for d in bench_ids)
+    # keep is the conjunction of every per-criterion flag
+    for r in rows.values():
+        want = (r.dedup_keep and r.quality_ok and r.lang_ok
+                and r.len_ok and r.boiler_ok and r.contam_ok
+                and r.sampled)
+        assert r.keep == want, r
+    # sampling actually rejects part of the corpus (rates < 1)
+    assert any(not r.sampled for r in rows.values())
+    assert any(r.keep for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# item 3: pack materialization invariants
+# ---------------------------------------------------------------------------
+
+def test_seq_pack_materialize_invariants(spark):
+    from parsee_pdf_reader_spark.operators.textstats import (
+        _PACK_BUDGET, q_seq_pack_plan, seq_pack_materialize,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = q_seq_pack_plan(spark, SF)
+    packed = seq_pack_materialize(plan, docs).collect()
+    assert packed
+    plan_rows = plan.collect()
+    n_docs_total = sum(p.n_docs for p in packed)
+    assert n_docs_total == len(plan_rows)  # every doc in exactly 1 pack
+    for p in packed:
+        # the token stream is exactly the boundary mask's docs, in
+        # offset (= doc_id within shard) order, concatenated
+        assert p.pack_tokens == sum(b.n_tokens for b in p.boundaries)
+        assert len(p.tokens) == p.pack_tokens
+        offs = [b.offset_in_pack for b in p.boundaries]
+        assert offs == sorted(offs)
+        ids = [b.doc_id for b in p.boundaries]
+        assert ids == sorted(ids)  # greedy order is doc_id order
+        assert p.first_doc == ids[0] and p.last_doc == ids[-1]
+        # budget: a pack exceeds the budget by less than one doc
+        if p.pack_tokens > _PACK_BUDGET:
+            assert (p.pack_tokens - p.boundaries[-1].n_tokens
+                    < _PACK_BUDGET)
+        # boundary offsets are the running token sum
+        run = offs[0]
+        for b in p.boundaries:
+            assert b.offset_in_pack == run
+            run += b.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# item 4: decontam with a genuinely separate benchmark table
+# ---------------------------------------------------------------------------
+
+def test_decontam_against_separate_benchmark_table(spark):
+    from parsee_pdf_reader_spark.operators.curation import (
+        decontam_against,
+    )
+
+    leak = ("the committee reviewed the annual budget allocation for "
+            "infrastructure spending priorities next year")
+    clean = ("a completely unrelated story about mountain weather "
+             "patterns and seasonal snowfall depth records")
+    train = spark.createDataFrame(
+        [(1, leak + " plus trailing context tokens here"),
+         (2, clean)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, "held out question: " + leak)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           decontam_against(train, bench, min_hits=3).collect()}
+    assert out[1].contaminated and out[1].n_overlap >= 3
+    assert not out[2].contaminated and out[2].n_overlap == 0
+
+
+# ---------------------------------------------------------------------------
+# item 5: payload-free streaming claims + batch rejoin
+# ---------------------------------------------------------------------------
+
+def test_stream_neardup_slim_state_and_payload_rejoin(spark, tmp_path):
+    """Default near-dup stream output carries NO text column (claims
+    are min(doc_id) only); rejoin_payload recovers exactly the winner
+    payloads from the durable raw store. keep_payload=True restores
+    the r5 single-query shape with the SAME survivor set."""
+    import datetime
+
+    from parsee_pdf_reader_spark.streaming.incremental import (
+        rejoin_payload, run_stream_neardup,
+    )
+
+    inp = os.path.join(str(tmp_path), "docs_stream")
+    outp = os.path.join(str(tmp_path), "neardup")
+    ck = os.path.join(str(tmp_path), "ck")
+    outp2 = os.path.join(str(tmp_path), "neardup_fat")
+    ck2 = os.path.join(str(tmp_path), "ck_fat")
+    os.makedirs(inp)
+    t0 = datetime.datetime(2025, 6, 1, 10, 0, 0)
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank tonight")
+    other = ("completely different content about quarterly revenue "
+             "and operating expenses growth")
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    b1 = [(7, t0, base, "en"),
+          (8, t0 + datetime.timedelta(minutes=1), near, "en"),
+          (9, t0 + datetime.timedelta(minutes=2), other, "en")]
+    b2 = [(99, t0 + datetime.timedelta(hours=3), "late sentinel", "en")]
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    q = run_stream_neardup(spark, inp, outp, ck)
+    q.awaitTermination(180)
+    slim = spark.read.parquet(outp)
+    assert set(slim.columns) == {"window_start", "doc_id"}
+    assert {r.doc_id for r in slim.collect()} == {7, 9}
+
+    docs = spark.read.parquet(inp)
+    fat = rejoin_payload(slim, docs)
+    got = {r.doc_id: r.text for r in fat.collect()}
+    assert got == {7: base, 9: other}
+
+    # the payload-carrying variant picks the same winners
+    q2 = run_stream_neardup(spark, inp, outp2, ck2, keep_payload=True)
+    q2.awaitTermination(180)
+    fat2 = spark.read.parquet(outp2)
+    assert set(fat2.columns) == {"window_start", "doc_id", "text"}
+    assert {r.doc_id: r.text for r in fat2.collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# ADVICE medium: run_extraction readback mirrors the sink dispatch
+# ---------------------------------------------------------------------------
+
+def test_run_extraction_readback_uses_read_pages(spark, tmp_path,
+                                                 monkeypatch):
+    import parsee_pdf_reader_spark.pipeline as pl
+    from parsee_pdf_reader_spark.sources.synth import (
+        synthesize_pages_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(8)
+    pages = synthesize_pages_df(spark, docs)
+    inp = os.path.join(str(tmp_path), "pages_in")
+    pages.withColumn(
+        "warc_ts",
+        F.coalesce("warc_ts",
+                   F.lit("2025-06-01 00:00:00").cast("timestamp"))) \
+        .write.parquet(inp)
+    outp = os.path.join(str(tmp_path), "pages_out")
+
+    calls = []
+    real = pl.read_pages
+
+    def spy(spark_, source):
+        calls.append(source)
+        return real(spark_, source)
+
+    monkeypatch.setattr(pl, "read_pages", spy)
+    got = pl.run_extraction(spark, inp, outp)
+    # read_pages served both the source AND the readback
+    assert calls == [inp, outp]
+    assert got.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: Symbol construction glyphs are injective PUA codepoints
+# ---------------------------------------------------------------------------
+
+def test_symbol_spec_injective_pua_construction_glyphs():
+    from parsee_pdf_reader_spark.sources.afm14 import (
+        _SYMBOL_WIDTHS, SYMBOL_SPEC,
+    )
+
+    chars = [ch for _c, _w, ch in SYMBOL_SPEC]
+    assert all(ch for ch in chars), "no empty decode targets"
+    assert len(set(chars)) == len(chars), "width map must be injective"
+    # the AGL Private-Use block for Symbol's construction glyphs
+    spec = {c: (w, ch) for c, w, ch in SYMBOL_SPEC}
+    expect = {
+        96: (500, ""),    # radicalex
+        189: (603, ""),   # arrowvertex
+        190: (1000, ""),  # arrowhorizex
+        230: (384, ""),   # parenlefttp
+        239: (494, ""),   # braceex
+        244: (686, ""),   # integralex
+        254: (494, ""),   # bracerightbt
+    }
+    for code, (w, ch) in expect.items():
+        assert spec[code] == (w, ch), (code, spec[code])
+        # the width lookup resolves to the AFM advance, not
+        # MissingWidth 500 (except radicalex whose advance IS 500)
+        assert _SYMBOL_WIDTHS[ch] == w
