@@ -218,6 +218,12 @@ _TAIL_TWINS = [
     #                         media_byte_features (measured)
     "html_strip_tags",      # registry twin of the extract_web_pages
     #                         golden flagship (measured, richer oracle)
+    "doc_sentences",        # base explode of sentence_boilerplate AND
+    #                         c4_clean_text (both measured; both twins
+    #                         embed the identical split SQL)
+    "rank_events_per_user",  # rank-window twin of
+    #                         topk_orders_per_priority (measured; same
+    #                         partition-rank machinery)
 ]
 
 

@@ -829,3 +829,216 @@ from parsee_pdf_reader_spark.plans.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["seq_pack_materialize"] = (q_seq_pack_materialize,
                                 _seq_pack_mat_sql())
+
+
+# ---------------------------------------------------------------------------
+# round 6: Gopher-style format/repetition rules + C4 boilerplate-line
+# removal with text reassembly (the materialized twin of boiler_frac)
+# ---------------------------------------------------------------------------
+
+#: Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: ... Gopher", appendix A1.1 — public paper): docs outside these
+#: bounds are overwhelmingly markup/listings/gibberish, not prose.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_WL_LO = 3.0
+_GOPHER_WL_HI = 10.0
+_GOPHER_SYM_MAX = 0.1     # '#' / ellipsis symbols per word
+_GOPHER_BULLET_MAX = 0.9  # lines starting with a bullet
+_GOPHER_ELL_MAX = 0.3     # lines ending with an ellipsis
+_GOPHER_ALPHA_MIN = 0.8   # words containing >=1 alphabetic char
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have",
+                 "with"]
+_GOPHER_MIN_STOPS = 2
+
+_G_STOPS_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+_G_LINES_SQL = ("list_filter(string_split(text, chr(10)), "
+                "x -> trim(x) <> '')")
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    with base as (
+      select doc_id, {_TOKS_SQL} as toks, {_G_LINES_SQL} as lines,
+             length(text) - length(replace(text, '#', '')) as n_hash,
+             len(regexp_extract_all(text, '\\.\\.\\.|…')) as n_ell
+      from documents)
+    select doc_id,
+      len(toks) as n_words,
+      round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            / cast(greatest(len(toks), 1) as double), 4)
+          as mean_word_len,
+      round((n_hash + n_ell)
+            / cast(greatest(len(toks), 1) as double), 6)
+          as symbol_ratio,
+      round(len(list_filter(lines, x ->
+                regexp_matches(x, '^\\s*[-*•]')))
+            / cast(greatest(len(lines), 1) as double), 6)
+          as bullet_frac,
+      round(len(list_filter(lines, x ->
+                regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+            / cast(greatest(len(lines), 1) as double), 6)
+          as ellipsis_frac,
+      round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+            / cast(greatest(len(toks), 1) as double), 6)
+          as alpha_word_frac,
+      len(list_intersect(toks, [{_G_STOPS_SQL}])) as stop_hits,
+      (len(toks) between {_GOPHER_MIN_WORDS} and {_GOPHER_MAX_WORDS}
+       and coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           / cast(greatest(len(toks), 1) as double)
+           between {_GOPHER_WL_LO} and {_GOPHER_WL_HI}
+       and (n_hash + n_ell)
+           / cast(greatest(len(toks), 1) as double) < {_GOPHER_SYM_MAX}
+       and len(list_filter(lines, x ->
+               regexp_matches(x, '^\\s*[-*•]')))
+           / cast(greatest(len(lines), 1) as double)
+           < {_GOPHER_BULLET_MAX}
+       and len(list_filter(lines, x ->
+               regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+           / cast(greatest(len(lines), 1) as double) < {_GOPHER_ELL_MAX}
+       and len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           / cast(greatest(len(toks), 1) as double) > {_GOPHER_ALPHA_MIN}
+       and len(list_intersect(toks, [{_G_STOPS_SQL}]))
+           >= {_GOPHER_MIN_STOPS}) as pass_gopher
+    from base
+    """,
+)
+def q_gopher_quality_rules(spark, sf_dir):
+    """The published Gopher format/repetition filter set as one
+    projection: word-count bounds, mean-word-length bounds,
+    symbol-per-word ratio ('#'/ellipsis), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and a
+    distinct-stopword floor, plus the conjunction verdict.
+
+    Scale: zero shuffles — one codegen'd projection per doc. The token
+    and line arrays are each bound ONCE (bind1 + inline Generate
+    boundary, the r5 single-evaluation pattern) even though seven
+    outputs read them; regexes are the Java/RE2-agreeing subset (no
+    lookaround) so the DuckDB twin is byte-identical."""
+    from parsee_pdf_reader_spark.operators.dedup import bind1
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks_lower()
+    lines = F.filter(F.split("text", r"\n"),
+                     lambda x: F.trim(x) != "")
+    n_hash = (F.length("text")
+              - F.length(F.regexp_replace("text", "#", "")))
+    n_ell = F.regexp_count("text", F.lit(r"\.\.\.|…"))
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+
+    def with_toks(tk):
+        def with_lines(ln):
+            n_words = F.size(tk)
+            nw = F.greatest(n_words, F.lit(1)).cast("double")
+            nl = F.greatest(F.size(ln), F.lit(1)).cast("double")
+            wl_sum = F.aggregate(
+                F.transform(tk, lambda x: F.length(x)),
+                F.lit(0), lambda a, x: a + x)
+            mean_wl = wl_sum / nw
+            sym = (n_hash + n_ell) / nw
+            bullet = F.size(F.filter(
+                ln, lambda x: x.rlike(r"^\s*[-*•]"))) / nl
+            ell = F.size(F.filter(
+                ln, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))) / nl
+            alpha = F.size(F.filter(
+                tk, lambda x: x.rlike("[a-z]"))) / nw
+            stop_hits = F.size(F.array_intersect(tk, stops))
+            ok = ((n_words >= _GOPHER_MIN_WORDS)
+                  & (n_words <= _GOPHER_MAX_WORDS)
+                  & (mean_wl >= _GOPHER_WL_LO)
+                  & (mean_wl <= _GOPHER_WL_HI)
+                  & (sym < _GOPHER_SYM_MAX)
+                  & (bullet < _GOPHER_BULLET_MAX)
+                  & (ell < _GOPHER_ELL_MAX)
+                  & (alpha > _GOPHER_ALPHA_MIN)
+                  & (stop_hits >= _GOPHER_MIN_STOPS))
+            return F.struct(
+                n_words.alias("n_words"),
+                F.round(mean_wl, 4).alias("mean_word_len"),
+                F.round(sym, 6).alias("symbol_ratio"),
+                F.round(bullet, 6).alias("bullet_frac"),
+                F.round(ell, 6).alias("ellipsis_frac"),
+                F.round(alpha, 6).alias("alpha_word_frac"),
+                stop_hits.alias("stop_hits"),
+                ok.alias("pass_gopher"))
+        return bind1(lines, with_lines)
+
+    return docs.select(
+        "doc_id", F.inline(F.array(bind1(toks, with_toks))))
+
+
+#: sentences in >= this many distinct docs are removed by c4_clean_text
+#: (same threshold the sentence_boilerplate signal reports on)
+_C4_MIN_DOCS = _BOILER_MIN_DOCS
+
+
+@register(
+    "c4_clean_text",
+    None,  # replaced below — embeds doc_sentences' registered twin
+)
+def q_c4_clean_text(spark, sf_dir):
+    """C4-style boilerplate-line REMOVAL with text reassembly — the
+    materialized consumer of the ``sentence_boilerplate`` signal:
+    sentences occurring in >= {N} distinct documents are dropped and
+    every document's surviving sentences are re-joined in original
+    order. Documents whose sentences are all boilerplate (or that had
+    no sentences) come back with empty clean_text, never dropped rows.
+
+    Scale: the same agg + shuffle_hash join-back shape as
+    sentence_boilerplate (corpus-wide distinct sentences never
+    broadcast), then ONE combinable groupBy(doc_id) whose in-group
+    sort is an array sort over a doc's own sentences — no window, no
+    global sort. The left join back to documents shares the doc_id
+    partitioning."""
+    sents = q_doc_sentences(spark, sf_dir).select(
+        "doc_id", "sent_idx", "sentence")
+    freq = sents.groupBy("sentence").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    kept = (sents.join(freq.hint("shuffle_hash"), "sentence")
+            .where(F.col("n_docs") < _C4_MIN_DOCS))
+    parts = F.sort_array(F.collect_list(F.struct("sent_idx",
+                                                 "sentence")))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(parts, lambda s: s["sentence"]))
+                    .alias("clean_text")))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (docs.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))
+
+
+def _c4_clean_sql() -> str:
+    from parsee_pdf_reader_spark.plans.queries import REGISTRY
+
+    sents_sql = REGISTRY["doc_sentences"][1]
+    return f"""
+    with sents as ({sents_sql}),
+    freq as (
+      select sentence, count(distinct doc_id) as n_docs
+      from sents group by sentence
+    ),
+    agg as (
+      select s.doc_id, count(*) as n_kept,
+             string_agg(s.sentence, ' ' order by s.sent_idx)
+                 as clean_text
+      from sents s join freq f using (sentence)
+      where f.n_docs < {_C4_MIN_DOCS}
+      group by s.doc_id
+    )
+    select d.doc_id, coalesce(a.n_kept, 0) as n_kept,
+           coalesce(a.clean_text, '') as clean_text
+    from documents d left join agg a on a.doc_id = d.doc_id
+    """
+
+
+from parsee_pdf_reader_spark.plans.queries import (  # noqa: E402
+    REGISTRY as _REG6,
+)
+
+_REG6["c4_clean_text"] = (q_c4_clean_text, _c4_clean_sql())

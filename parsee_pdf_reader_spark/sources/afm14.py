@@ -459,3 +459,97 @@ def text_width(basefont: str, s: str, missing: int = 500) -> int:
     PDFs should know their font)."""
     t = STD14_WIDTHS[basefont]
     return sum(t.get(ch, missing) for ch in s)
+
+
+# ---------------------------------------------------------------------------
+# runtime AFM ingestion (round 6)
+# ---------------------------------------------------------------------------
+
+def parse_afm(afm_text: str, glyph_to_unicode=None):
+    """Parse an Adobe Font Metrics file's ``StartCharMetrics`` section
+    into ``(widths, encoding)``: ``widths`` maps unicode char ->
+    advance (units/1000em), ``encoding`` maps built-in code -> char
+    for every encoded glyph (``C >= 0``).
+
+    Glyph-name resolution order: the caller's ``glyph_to_unicode``
+    map, then ``uniXXXX`` / ``uXXXX+`` forms, then the shared
+    ``/Differences`` name map (``pdf_mini._GLYPH_NAMES``), then — for
+    ENCODED glyphs only — a deterministic synthetic private-use
+    codepoint ``chr(0xF700 + code)`` so decode and width lookups stay
+    injective and mutually consistent even for ornament sets whose
+    glyphs have no Unicode mapping (the ZapfDingbats ``a1..a202``
+    case). Unencoded glyphs that cannot be resolved are skipped (they
+    are unreachable without an /Encoding that names them).
+
+    This is the deployment path for metrics this repo does not embed:
+    ship the published AFM file with the job (the Core-14 AFMs are
+    public and redistributable) and call :func:`register_afm` at
+    session start — no fabricated width tables in source. See
+    COVERAGE.md (ZapfDingbats)."""
+    from parsee_pdf_reader_spark.sources.pdf_mini import _GLYPH_NAMES
+
+    widths: Dict[str, int] = {}
+    encoding: Dict[int, str] = {}
+    in_metrics = False
+    for raw in afm_text.splitlines():
+        line = raw.strip()
+        if line.startswith("StartCharMetrics"):
+            in_metrics = True
+            continue
+        if line.startswith("EndCharMetrics"):
+            break
+        if not in_metrics or not line:
+            continue
+        code, wx, name = -1, None, None
+        for part in line.split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            key, _, val = part.partition(" ")
+            val = val.strip()
+            if key == "C":
+                code = int(val)
+            elif key in ("WX", "W0X"):
+                wx = int(round(float(val)))
+            elif key == "N":
+                name = val
+        if wx is None:
+            continue
+        ch = None
+        if glyph_to_unicode and name in glyph_to_unicode:
+            ch = glyph_to_unicode[name]
+        elif name and name.startswith("uni") and len(name) >= 7:
+            try:
+                ch = chr(int(name[3:7], 16))
+            except ValueError:
+                ch = None
+        elif (name and name.startswith("u") and 5 <= len(name) <= 7
+              and all(c in "0123456789ABCDEFabcdef"
+                      for c in name[1:])):
+            ch = chr(int(name[1:], 16))
+        if ch is None and name in _GLYPH_NAMES:
+            ch = _GLYPH_NAMES[name]
+        if ch is None and code >= 0:
+            ch = chr(0xF700 + code)
+        if ch is None:
+            continue
+        widths[ch] = wx
+        if code >= 0:
+            encoding[code] = ch
+    return widths, encoding
+
+
+def register_afm(basefont: str, afm_text: str,
+                 glyph_to_unicode=None,
+                 with_builtin_encoding: bool = True) -> None:
+    """Install runtime-parsed AFM metrics for ``basefont`` so
+    :func:`std14_table` / :func:`builtin_encoding` /
+    :func:`text_width` (and therefore ``pdf_mini.Font``) resolve it
+    exactly like the embedded standard faces. Idempotent per name;
+    re-registering replaces."""
+    widths, encoding = parse_afm(afm_text, glyph_to_unicode)
+    if not widths:
+        raise ValueError(f"AFM for {basefont!r} has no char metrics")
+    STD14_WIDTHS[basefont] = widths
+    if with_builtin_encoding and encoding:
+        BUILTIN_ENCODINGS[basefont] = encoding

@@ -224,3 +224,51 @@ def test_lsh_planes_parameterized(spark):
         lsh_bucket_col(0)
     with pytest.raises(ValueError):
         lsh_bucket_col(64)
+
+
+def test_gopher_rules_zero_exchange_single_evaluation(spark):
+    """Round 6: the Gopher rule set is one shuffle-free projection,
+    and the token/line arrays are bound once (bind1 + inline) — the
+    physical plan has no Exchange and exactly one Generate from the
+    inline boundary."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_gopher_quality_rules,
+    )
+
+    plan = _physical(q_gopher_quality_rules(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+
+
+def test_seq_pack_materialize_single_group_shuffle(spark):
+    """Round 6: pack assembly pays the plan join plus ONE
+    (shard, pack_id) group-shuffle and never explodes tokens — no
+    Generate node, no per-token rows, and the aggregate keys on
+    (shard, pack_id)."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_seq_pack_materialize,
+    )
+
+    plan = _optimized(q_seq_pack_materialize(spark, SF))
+    assert re.search(r"Aggregate \[shard[^\]]*, pack_id[^\]]*\]",
+                     plan), plan
+    assert "Generate" not in plan, plan  # tokens stay per-doc arrays
+
+
+def test_c4_clean_text_no_corpus_broadcast(spark):
+    """Round 6: the sentence-frequency join — the one whose build side
+    is corpus-sized — goes through the shuffle (shuffle_hash hint),
+    never a driver broadcast. (The final doc_id left-join is
+    UN-hinted: Catalyst broadcasts the rebuilt side at this tiny SF by
+    size stats and will pick SMJ once it outgrows the threshold —
+    that's the size-based behavior we want, so only the sentence join
+    is pinned.)"""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_c4_clean_text,
+    )
+
+    plan = _physical(q_c4_clean_text(spark, SF))
+    m = re.search(r"ShuffledHashJoin \[sentence#\d+\]", plan)
+    assert m is not None, plan
+    assert not re.search(
+        r"BroadcastHashJoin \[sentence#\d+\]", plan), plan

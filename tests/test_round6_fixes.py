@@ -298,3 +298,140 @@ def test_symbol_spec_injective_pua_construction_glyphs():
         # the width lookup resolves to the AFM advance, not
         # MissingWidth 500 (except radicalex whose advance IS 500)
         assert _SYMBOL_WIDTHS[ch] == w
+
+
+# ---------------------------------------------------------------------------
+# round-6 new operators: behavior on planted phenomena (the gate corpus
+# has no boilerplate sentences and no Gopher-rule violators, so hash
+# parity alone would be vacuous — the r5 PII lesson)
+# ---------------------------------------------------------------------------
+
+def _local_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_clean_text_removes_planted_boilerplate(spark, tmp_path,
+                                                   monkeypatch):
+    """A sentence occurring in >= 3 distinct docs is removed from all
+    of them; unique sentences survive in original order; a doc made
+    entirely of boilerplate comes back empty, not dropped."""
+    import parsee_pdf_reader_spark.operators.textstats as ts
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"unique alpha statement. {boiler}. closing alpha remark"),
+        (2, f"{boiler}. unique beta content here"),
+        (3, f"unique gamma opening. {boiler}"),
+        (4, boiler),
+        (5, "entirely original document with no shared lines"),
+    ]
+    docs = _local_docs(spark, rows)
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in
+           ts.q_c4_clean_text(spark, sf).collect()}
+    assert len(out) == 5
+    assert out[1].clean_text == ("unique alpha statement "
+                                 "closing alpha remark")
+    assert out[1].n_kept == 2
+    assert out[2].clean_text == "unique beta content here"
+    assert out[3].clean_text == "unique gamma opening"
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+    assert out[5].n_kept == 1
+    for r in out.values():
+        assert boiler not in r.clean_text
+
+
+def test_gopher_rules_flag_planted_violators(spark, tmp_path):
+    import parsee_pdf_reader_spark.operators.textstats as ts
+
+    good = ("the committee will be meeting to review all of the "
+            "budget items and priorities that have been raised with "
+            "careful attention to detail across every department "
+            "because the annual planning cycle requires that each "
+            "request be weighed against the available funding and "
+            "the expected benefit to the community over time")
+    bullets = "\n".join(f"- item {i} in the listing" for i in range(10))
+    symbols = " ".join(["the"] * 30 + ["###", "...", "…"] * 30)
+    short = "too short to be the real prose"
+    ellipsis = "\n".join(
+        f"the line number {i} trails off into nothing..."
+        for i in range(10))
+    rows = [(1, good), (2, bullets), (3, symbols), (4, short),
+            (5, ellipsis)]
+    docs = _local_docs(spark, rows)
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in
+           ts.q_gopher_quality_rules(spark, sf).collect()}
+    assert out[1].pass_gopher, out[1]
+    assert not out[2].pass_gopher and out[2].bullet_frac >= 0.9
+    assert not out[3].pass_gopher and out[3].symbol_ratio >= 0.1
+    assert not out[4].pass_gopher and out[4].n_words < 50
+    assert not out[5].pass_gopher and out[5].ellipsis_frac >= 0.3
+    # every per-rule feature is populated, not null
+    for r in out.values():
+        for f in ("mean_word_len", "symbol_ratio", "bullet_frac",
+                  "ellipsis_frac", "alpha_word_frac", "stop_hits"):
+            assert getattr(r, f) is not None
+
+
+# ---------------------------------------------------------------------------
+# round 6: runtime AFM ingestion (the honest ZapfDingbats path — no
+# fabricated width tables in source; deployments ship the published
+# AFM file and register it at session start)
+# ---------------------------------------------------------------------------
+
+_TEST_AFM = """\
+StartFontMetrics 4.1
+FontName ZapfDingbats
+Comment synthetic TEST metrics authored for this test, NOT Adobe's
+StartCharMetrics 5
+C 32 ; WX 278 ; N space ;
+C 97 ; WX 974 ; N a1 ;
+C 98 ; WX 961 ; N a2 ;
+C 99 ; WX 500 ; N uni2701 ;
+C -1 ; WX 600 ; N orphanglyph ;
+EndCharMetrics
+EndFontMetrics
+"""
+
+
+def test_register_afm_end_to_end_font_metrics():
+    """register_afm-installed metrics flow through the whole simple-
+    font path: built-in encoding decode (no /Widths, no /Encoding)
+    and per-glyph AFM advances, exactly like the embedded Symbol
+    face. Uses self-authored TEST metrics (this repo ships no
+    reconstructed ZapfDingbats table — see COVERAGE.md)."""
+    from test_pdf_mini_units import _pdf_chars
+    from test_round5_fixes import _font_pdf
+
+    from parsee_pdf_reader_spark.sources.afm14 import (
+        BUILTIN_ENCODINGS, STD14_WIDTHS, register_afm,
+    )
+
+    assert "ZapfDingbats" not in STD14_WIDTHS  # documented omission
+    register_afm("ZapfDingbats", _TEST_AFM)
+    try:
+        pdf = _font_pdf(
+            "BT /F1 10 Tf 1 0 0 1 72 700 Tm (abc) Tj ET",
+            b"<</Type/Font/Subtype/Type1/BaseFont/ZapfDingbats>>")
+        chars = _pdf_chars(pdf)
+        # a/b resolve to synthetic PUA (no AGL mapping for a1/a2);
+        # c resolves through its uniXXXX name
+        assert [c.text for c in chars] == [chr(0xF700 + 97),
+                                           chr(0xF700 + 98),
+                                           "✁"]
+        x = 72.0
+        for c, w in zip(chars, (974, 961, 500)):
+            adv = w * 10 / 1000.0
+            assert abs(c.x0 - x) < 5e-3, (c.text, c.x0, x)
+            assert abs(c.x1 - (x + adv)) < 5e-3
+            x += adv
+        # unencoded glyphs with unresolvable names are skipped; the
+        # width map stays injective
+        ws = STD14_WIDTHS["ZapfDingbats"]
+        assert len(ws) == 4 and 600 not in ws.values()
+    finally:
+        STD14_WIDTHS.pop("ZapfDingbats", None)
+        BUILTIN_ENCODINGS.pop("ZapfDingbats", None)

@@ -86,6 +86,18 @@ CHECKS = {
     "seq_pack_plan": ["shard-local ordered window, no global sort; "
                       "shard count is a sizing parameter (set "
                       "~corpus/10^7 at scale)"],
+    # round-6 additions
+    "seq_pack_materialize": ["ONE (shard, pack_id) group-shuffle; "
+                             "tokens travel as per-doc arrays (never "
+                             "exploded); in-group order via "
+                             "sort_array over one pack's members"],
+    "gopher_quality_rules": ["no Exchange — token/line arrays bound "
+                             "once (bind1 + inline Generate), seven "
+                             "rule outputs read one evaluation"],
+    "c4_clean_text": ["sentence freq agg + shuffled join-back (no "
+                      "corpus-wide broadcast), combinable "
+                      "groupBy(doc_id) rebuild, left join back to "
+                      "documents on the shared doc_id key"],
 }
 
 
