@@ -224,6 +224,12 @@ _TAIL_TWINS = [
     "rank_events_per_user",  # rank-window twin of
     #                         topk_orders_per_priority (measured; same
     #                         partition-rank machinery)
+    "corpus_token_budget",  # window-over-aggregate twin of
+    #                         corpus_length_quantiles (measured) over
+    #                         token_counts' scalar stack (measured)
+    "source_mix_stats",     # grouped-agg + one-row-broadcast share,
+    #                         the same shapes rollup_order_revenue and
+    #                         tfidf_top_terms (both measured) pin
 ]
 
 

@@ -230,6 +230,39 @@ _CELL_DOTS_SQL = f"""
 """
 
 
+def ivf_assigned(emb):
+    """Shared coarse-quantizer projection: every vector gets its
+    nearest of the _IVF_K md5-derived centroids (argmax of centroid
+    dot products, first-index tie-break on both engines) and its L2
+    norm, in ONE codegen'd projection — used by the IVF ANN search
+    and by SemDeDup. Centroid matrix is literalized driver-side
+    (hashlib == engine md5) so it constant-folds (r5 rationale)."""
+    cents_lit = F.array(*[
+        F.array(*[F.lit(_centroid_component_py(c, i))
+                  for i in range(_DIM_CAP)])
+        for c in range(_IVF_K)])
+
+    def cell_dot(c):
+        n = F.size("embedding")
+        row = F.element_at(cents_lit, (c + 1).cast("int"))
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.element_at("embedding", i + 1).cast("double")
+                * F.element_at(row, (i + 1).cast("int")),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dots = F.transform(F.sequence(F.lit(0), F.lit(_IVF_K - 1)), cell_dot)
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select(
+        "vec_id", "embedding",
+        (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
+        norm.alias("nrm"))
+
+
 @register(
     "ann_ivf_topk",
     f"""
@@ -267,33 +300,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-
-    # literalized centroid matrix (see lsh_bucket_col — same r5
-    # constant-folding rationale, hashlib == engine md5)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(_centroid_component_py(c, i))
-                  for i in range(_DIM_CAP)])
-        for c in range(_IVF_K)])
-
-    def cell_dot(c):
-        n = F.size("embedding")
-        row = F.element_at(cents_lit, (c + 1).cast("int"))
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.element_at("embedding", i + 1).cast("double")
-                * F.element_at(row, (i + 1).cast("int")),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    dots = F.transform(F.sequence(F.lit(0), F.lit(_IVF_K - 1)), cell_dot)
-    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
-    assigned = emb.select(
-        "vec_id", "embedding",
-        (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
-        norm.alias("nrm"))
+    assigned = ivf_assigned(emb)
     q = assigned.where(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -596,3 +603,86 @@ def q_kmeans_assign_r3(spark, sf_dir):
     this row pins that iteration composes without cross-engine float
     drift)."""
     return kmeans_assign_df(_t(spark, sf_dir, "embeddings"), rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# round 6: SemDeDup — semantic deduplication over embeddings
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.35  # cosine threshold; 63/72 dup pairs at the gate
+#                     sfs (measured), i.e. exercised but not saturated.
+#                     Real text embeddings cluster much tighter and use
+#                     ~0.95+; the policy is threshold-independent.
+
+_SEM_ASSIGNED_SQL = f"""
+    select vec_id, embedding,
+           cast(list_indexof(dots, list_max(dots)) - 1 as bigint)
+               as cell,
+           {_NORM_SQL.format(e='embedding')} as nrm
+    from (select vec_id, embedding, {_CELL_DOTS_SQL} as dots
+          from embeddings) t
+"""
+
+
+@register(
+    "semdedup_keep",
+    f"""
+    with assigned as ({_SEM_ASSIGNED_SQL}),
+    dups as (
+      select b.vec_id as vec_id, count(*) as n_sem_dups
+      from assigned a
+      join assigned b on b.cell = a.cell and a.vec_id < b.vec_id
+      where list_sum(list_transform(range(len(a.embedding)), i ->
+              a.embedding[i+1]::double * b.embedding[i+1]::double))
+            / (a.nrm * b.nrm) >= {_SEMDEDUP_T}
+      group by b.vec_id
+    )
+    select s.vec_id, s.cell,
+           coalesce(d.n_sem_dups, 0) as n_sem_dups,
+           (coalesce(d.n_sem_dups, 0) = 0) as keep
+    from assigned s left join dups d on d.vec_id = s.vec_id
+    """,
+)
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication =
+    cluster embeddings with a coarse quantizer, then drop every vector
+    that has a CLUSTER-MATE with cosine >= t and a smaller vec_id —
+    one survivor per semantic-duplicate relation, cluster-scoped so
+    the pair search never goes corpus x corpus. Reuses the exact IVF
+    cell assignment (:func:`ivf_assigned`) the ANN row ships.
+
+    Output keeps the evidence: (vec_id, cell, n_sem_dups, keep).
+
+    Scale: the self-join is an equi-join on the cell key — candidate
+    pairs are sum_c (n_c choose 2), and K is a SIZING parameter
+    exactly like seq_pack_plan's shard count: SemDeDup's own recipe
+    sets K ~ n / target-cell-size (they use 50k clusters for LAION),
+    keeping per-cell work bounded while the plan shape stays
+    K-invariant. The dup count aggregates map-side on the
+    high-cardinality vec_id key; the final left join shares vec_id
+    partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = ivf_assigned(emb)
+    a = assigned.select(F.col("vec_id").alias("a_id"),
+                        F.col("embedding").alias("a_emb"),
+                        F.col("cell").alias("a_cell"),
+                        F.col("nrm").alias("a_nrm"))
+    b = assigned.select(F.col("vec_id").alias("b_id"),
+                        F.col("embedding").alias("b_emb"),
+                        F.col("cell").alias("b_cell"),
+                        F.col("nrm").alias("b_nrm"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (a.join(b, (F.col("a_cell") == F.col("b_cell"))
+                    & (F.col("a_id") < F.col("b_id")))
+             .where(dot / (F.col("a_nrm") * F.col("b_nrm"))
+                    >= _SEMDEDUP_T))
+    dups = (pairs.groupBy(F.col("b_id").alias("vec_id"))
+            .agg(F.count(F.lit(1)).alias("n_sem_dups")))
+    n_dups = F.coalesce(F.col("n_sem_dups"), F.lit(0))
+    return (assigned.select("vec_id", "cell")
+            .join(dups, "vec_id", "left")
+            .select("vec_id", "cell", n_dups.alias("n_sem_dups"),
+                    (n_dups == 0).alias("keep")))

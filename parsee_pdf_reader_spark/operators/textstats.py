@@ -1042,3 +1042,40 @@ from parsee_pdf_reader_spark.plans.queries import (  # noqa: E402
 )
 
 _REG6["c4_clean_text"] = (q_c4_clean_text, _c4_clean_sql())
+
+
+@register(
+    "source_mix_stats",
+    f"""
+    select d.source, d.lang,
+           count(*) as n_docs,
+           cast(sum(len({_TOKS_SQL})) as bigint) as n_tokens,
+           round(sum(len({_TOKS_SQL})) / t.total, 6) as token_share
+    from documents d
+    cross join (select cast(sum(len({_TOKS_SQL})) as double) as total
+                from documents) t
+    group by d.source, d.lang, t.total
+    """,
+)
+def q_source_mix_stats(spark, sf_dir):
+    """Data-mixture report: per (source, lang) document and token
+    counts plus each stratum's share of the corpus token total — the
+    table every pretraining run publishes to justify its sampling
+    weights (and the input `corpus_sample`'s per-stratum rates are
+    tuned against).
+
+    Scale: one combinable groupBy over ~sources x langs keys; the
+    corpus total enters the PLAN as a one-row broadcast cross join
+    (the r5 tfidf pattern — no eager driver job, no window over a
+    single partition)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = F.size(_toks_lower())
+    total = (docs.agg(F.sum(n_toks).cast("double").alias("total")))
+    agg = (docs.select("source", "lang", n_toks.alias("nt"))
+           .groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").cast("long").alias("n_tokens")))
+    return (agg.crossJoin(F.broadcast(total))
+            .select("source", "lang", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("total"), 6)
+                    .alias("token_share")))

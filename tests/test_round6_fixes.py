@@ -52,7 +52,8 @@ def test_flagships_inside_driver_gate_window():
         "salted_user_stats", "dedup_recall_exact_dups",
         # this round's new measured rows
         "seq_pack_materialize", "corpus_keep_filter",
-        "decontam_ngram_overlap",
+        "decontam_ngram_overlap", "gopher_quality_rules",
+        "c4_clean_text", "semdedup_keep",
     }
     missing = must - first50
     assert not missing, f"must-check rows outside gate window: {missing}"
@@ -435,3 +436,30 @@ def test_register_afm_end_to_end_font_metrics():
     finally:
         STD14_WIDTHS.pop("ZapfDingbats", None)
         BUILTIN_ENCODINGS.pop("ZapfDingbats", None)
+
+
+def test_semdedup_drops_planted_semantic_duplicates(spark, tmp_path):
+    """SemDeDup behavior on planted duplicates: identical (and
+    near-identical) embeddings land in the same cell and only the
+    smallest vec_id survives; an orthogonal-ish vector keeps."""
+    import parsee_pdf_reader_spark.operators.similarity as sim
+
+    base = [float((i * 7) % 13) - 6.0 for i in range(16)]
+    near = list(base)
+    near[0] += 0.01
+    other = [float((i * 5) % 11) - 5.0 if i % 2 else
+             -(float((i * 3) % 7)) for i in range(16)]
+    rows = [(10, base, 0), (11, base, 0), (12, near, 0),
+            (13, other, 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.vec_id: r for r in
+           sim.q_semdedup_keep(spark, sf).collect()}
+    assert len(out) == 4
+    assert out[10].keep and out[10].n_sem_dups == 0
+    assert not out[11].keep and out[11].n_sem_dups >= 1
+    assert not out[12].keep  # near-duplicate also pruned
+    # the distinct vector survives regardless of its cell
+    assert out[13].keep, out[13]

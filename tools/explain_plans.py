@@ -98,6 +98,10 @@ CHECKS = {
                       "corpus-wide broadcast), combinable "
                       "groupBy(doc_id) rebuild, left join back to "
                       "documents on the shared doc_id key"],
+    "semdedup_keep": ["cell-scoped self-join (equi-join on the IVF "
+                      "cell key, never corpus x corpus); dup counts "
+                      "map-side combinable on vec_id; K a sizing "
+                      "parameter (SemDeDup: K ~ n/target-cell-size)"],
 }
 
 
