@@ -218,6 +218,10 @@ _TAIL_TWINS = [
     #                         media_byte_features (measured)
     "html_strip_tags",      # registry twin of the extract_web_pages
     #                         golden flagship (measured, richer oracle)
+    "dedup_simhash",        # per-doc simhash signature projection; a
+    #                         strict subset of simhash_near_pairs_wide
+    #                         (measured: signature + banding + hamming
+    #                         verify) + tests/test_dedup.py sign pins
     "doc_sentences",        # base explode of sentence_boilerplate AND
     #                         c4_clean_text (both measured; both twins
     #                         embed the identical split SQL)

@@ -1058,3 +1058,127 @@ def q_simhash_near_pairs_wide(spark, sf_dir):
     ``test_simhash_near_pairs_wide_recall``)."""
     return simhash_near_pairs(_t(spark, sf_dir, "documents"),
                               nbits=63, band_bits=16, max_ham=3)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span statistics (Lee et al. 2022, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+#: gram width in tokens for duplicated-span detection. Lee et al. use a
+#: 50-token threshold over a suffix array; the Spark-native
+#: approximation below marks every 16-token window whose hash repeats
+#: corpus-wide, which upper-bounds the same spans at finer granularity.
+_SPAN_N = 16
+
+
+def _dup_span_sql(n: int = _SPAN_N) -> str:
+    """DuckDB twin: exact gram strings instead of 64-bit hashes (the
+    hashes never surface in the output; a cross-engine divergence would
+    require an xxhash64 collision among corpus grams, ~1e-11 at gate
+    scale)."""
+    return f"""
+    with toks as (
+      select doc_id, {_TOKS_SQL} as tk from documents
+    ), grams as (
+      select doc_id, i as pos, array_to_string(tk[i+1:i+{n}], ' ') as g
+      from toks, unnest(range(greatest(len(tk) - {n} + 1, 0))) as t(i)
+    ), dup as (
+      select g from grams group by g having count(*) >= 2
+    ), cov as (
+      select doc_id, count(distinct p) as dup_tokens
+      from (select doc_id, unnest(range(pos, pos + {n})) as p
+            from grams join dup using (g)) u
+      group by doc_id
+    )
+    select t.doc_id,
+           len(t.tk) as n_tokens,
+           coalesce(c.dup_tokens, 0) as dup_tokens,
+           round(coalesce(c.dup_tokens, 0)
+                 / greatest(len(t.tk), 1), 6) as dup_frac
+    from toks t left join cov c using (doc_id)
+    """
+
+
+def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id"):
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    tokens lying inside some n-token window that occurs >= 2 times
+    corpus-wide (Lee et al.'s exact-substring dedup signal, rebuilt as
+    a dataframe plan instead of a suffix array).
+
+    Plan shape (the 100 TB rationale):
+
+    - grams are a single codegen'd projection per doc (``bind1`` binds
+      the token split once; ~len(tk) structs of (pos, xxhash64)), then
+      one explode — no shuffle yet;
+    - corpus-wide repetition uses ONE hash exchange: a count window
+      partitioned by the 8-byte gram hash (a groupBy+self-join would
+      shuffle the gram stream twice);
+    - coverage never explodes non-duplicated grams: only surviving
+      (pos) lists are expanded, JVM-side, after the per-doc groupBy
+      (``sequence``/``flatten``/``array_distinct`` on arrays bounded
+      by doc length);
+    - the final stats join is keyed on ``doc_id``, the same
+      partitioning the coverage aggregation just produced.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    gram_arr = bind1(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(tk, i + 1, n))
+                    ).alias("h"),
+                ),
+            ),
+        ),  # short docs -> NULL array -> explode() drops the row
+    )
+    g = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(gram_arr).alias("g"))
+        .select("doc_id", "g.pos", "g.h")
+    )
+    dupg = (
+        g.select("doc_id", "pos",
+                 F.count("*").over(Window.partitionBy("h")).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    cov = (
+        dupg.groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps"))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "ps", lambda p: F.sequence(p, p + n - 1)
+                        )
+                    )
+                )
+            ).alias("dup_tokens"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).alias("n_tokens"))
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dup_tokens.cast("bigint").alias("dup_tokens"),
+        F.round(dup_tokens / F.greatest("n_tokens", F.lit(1)), 6)
+        .alias("dup_frac"),
+    )
+
+
+@register("dup_span_stats", _dup_span_sql())
+def q_dup_span_stats(spark, sf_dir):
+    """Corpus-wide duplicated 16-gram span coverage per document —
+    the within-corpus companion of ``decontam_ngram_overlap`` (which
+    runs the same gram machinery against a held-out slice)."""
+    return dup_span_stats_df(_t(spark, sf_dir, "documents"))

@@ -53,7 +53,7 @@ def test_flagships_inside_driver_gate_window():
         # this round's new measured rows
         "seq_pack_materialize", "corpus_keep_filter",
         "decontam_ngram_overlap", "gopher_quality_rules",
-        "c4_clean_text", "semdedup_keep",
+        "c4_clean_text", "semdedup_keep", "dup_span_stats",
     }
     missing = must - first50
     assert not missing, f"must-check rows outside gate window: {missing}"
@@ -463,3 +463,43 @@ def test_semdedup_drops_planted_semantic_duplicates(spark, tmp_path):
     assert not out[12].keep  # near-duplicate also pruned
     # the distinct vector survives regardless of its cell
     assert out[13].keep, out[13]
+
+
+# ---------------------------------------------------------------------------
+# round-7 backlog item: duplicated-span statistics (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def test_dup_span_stats_planted_spans(spark):
+    """Plant a shared 18-token span across two docs: 3 overlapping
+    duplicated 16-gram windows must union to EXACTLY 18 covered tokens
+    in each (not 3*16); an all-unique doc and a sub-window doc report
+    zero; an internally-repeated doc is fully covered."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        _SPAN_N, dup_span_stats_df,
+    )
+
+    assert _SPAN_N == 16  # planted geometry below assumes this
+    span = " ".join(f"s{i}" for i in range(18))
+    phrase = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        # shared 18-token span + 4 unique -> 18/22 covered
+        (1, span + " u1 u2 u3 u4"),
+        # same span, different padding -> 18/24 covered
+        (2, "v1 v2 v3 " + span + " v4 v5 v6"),
+        # 30 unique tokens -> nothing duplicated
+        (3, " ".join(f"w{i}" for i in range(30))),
+        # shorter than one window -> no grams, zero coverage
+        (4, "x1 x2 x3 x4 x5"),
+        # one 16-token phrase repeated back-to-back: windows at pos 0
+        # and 16 collide (within a single doc), covering all 32 tokens
+        (5, phrase + " " + phrase),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_span_stats_df(docs).collect()}
+    assert len(out) == 5
+    assert (out[1].n_tokens, out[1].dup_tokens) == (22, 18)
+    assert (out[2].n_tokens, out[2].dup_tokens) == (24, 18)
+    assert out[1].dup_frac == round(18 / 22, 6)
+    assert (out[3].dup_tokens, out[4].dup_tokens) == (0, 0)
+    assert (out[5].n_tokens, out[5].dup_tokens, out[5].dup_frac) == \
+        (32, 32, 1.0)
