@@ -248,6 +248,74 @@ def rejoin_payload(survivors: DataFrame, docs: DataFrame) -> DataFrame:
         .select("window_start", "doc_id", "text")
 
 
+def stream_rejoin_payload(survivors: DataFrame, docs: DataFrame,
+                          window: str = "5 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Stream-native payload recovery (the streaming twin of
+    :func:`rejoin_payload`): a time-interval stream-stream join between
+    the payload-free survivor keys and a SECOND ``readStream`` of the
+    same durable raw input.
+
+    The join is ``doc_id`` equality plus ``ingest_ts`` within
+    ``[window_start, window_start + window)`` — the exact window the
+    claim was won in, so a doc_id replayed in a later window never
+    rejoins an earlier window's survivor row. doc_id equality alone
+    already picks the right payload (doc_ids are unique per window);
+    the time bound is what lets Spark EVICT join state: both sides are
+    watermarked, so raw rows are dropped from the state store once the
+    watermark passes their window, keeping state O(arrivals per
+    watermark horizon) instead of O(corpus).
+
+    Chained stateful topology (verified under Spark 4.1, append mode
+    end to end): band-claim window agg -> reassembly agg ->
+    stream-stream interval join, all in ONE query — the sink receives
+    finalized (window_start, doc_id, text) rows with no intermediate
+    table and no batch follow-up job. ``window`` must equal the window
+    used by :func:`stream_dedup_neardup` upstream."""
+    raw = (
+        docs.withWatermark("ingest_ts", watermark)
+        .select(F.col("doc_id").alias("raw_doc_id"),
+                F.col("ingest_ts").alias("raw_ts"), "text")
+    )
+    return survivors.join(
+        raw,
+        (F.col("doc_id") == F.col("raw_doc_id"))
+        & (F.col("raw_ts") >= F.col("window_start"))
+        & (F.col("raw_ts") < F.col("window_start")
+           + F.expr(f"interval {window}")),
+        "inner",
+    ).select("window_start", "doc_id", "text")
+
+
+def run_stream_neardup_rejoined(spark: SparkSession, input_dir: str,
+                                output_dir: str, checkpoint_dir: str,
+                                max_files_per_trigger: int = 4):
+    """availableNow drain of the FULL slim near-dup topology: payload-
+    free min-claim dedup chained into the stream-stream payload rejoin
+    (:func:`stream_rejoin_payload`) in one query. The sink gets the
+    same (window_start, doc_id, text) rows the r5 payload-carrying
+    stream produced, while claim state stays O(bands x 8 bytes) and
+    join state is watermark-bounded raw rows."""
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    survivors = stream_dedup_neardup(src)
+    raw = spark.readStream.schema(schema).parquet(input_dir)
+    out = stream_rejoin_payload(survivors, raw)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_neardup_audit(docs: DataFrame,
                                watermark: str = "1 hour",
                                window: str = "5 minutes",

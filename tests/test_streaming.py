@@ -189,3 +189,56 @@ def test_stream_dedup_neardup(spark, tmp_path):
     assert 1 in kept and 2 in kept and 4 in kept, kept
     assert 3 not in kept, kept       # cross-batch near-dup dropped
     assert 99 not in kept, kept      # sentinel window still open
+
+
+def test_stream_neardup_rejoin_single_query(spark, tmp_path):
+    """Round-6: the slim near-dup stream chained into the stream-stream
+    payload rejoin in ONE append-mode query (claim agg -> reassembly
+    agg -> time-interval join). Survivors land in the sink with their
+    original text recovered from the raw stream; the near-dup and the
+    open sentinel window stay out. A replayed doc_id in a later
+    window must rejoin THAT window's arrival, not the first one."""
+    import datetime
+
+    from parsee_pdf_reader_spark.streaming.incremental import (
+        run_stream_neardup_rejoined,
+    )
+
+    inp = os.path.join(str(tmp_path), "docs_stream")
+    outp = os.path.join(str(tmp_path), "rejoined")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(inp)
+    t0 = datetime.datetime(2025, 6, 1, 10, 0, 0)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank tonight")
+    other = ("completely different content about quarterly revenue "
+             "and operating expenses growth")
+    schema = ("doc_id long, ingest_ts timestamp, text string, "
+              "lang string")
+    b1 = [(1, t0, base, "en"), (2, mins(1), other, "en")]
+    # 3 = cross-batch near-dup of 1 (same window): must drop.
+    # 7 = doc 1's text REPLAYED in the next 5-min window: re-claims
+    # there and must rejoin its own window's arrival.
+    b2 = [(3, mins(2), near, "en"), (7, mins(7), base, "en")]
+    b3 = [(99, t0 + datetime.timedelta(hours=3), "late sentinel",
+           "en")]
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    q = run_stream_neardup_rejoined(spark, inp, outp, ck,
+                                    max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    assert set(got) == {1, 2, 7}, set(got)
+    assert got[1].text == base and got[2].text == other
+    # the replay's survivor row carries its OWN window + payload
+    assert got[7].text == base
+    assert got[7].window_start == mins(5)
+    assert got[1].window_start == t0
