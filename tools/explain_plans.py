@@ -102,6 +102,11 @@ CHECKS = {
                       "cell key, never corpus x corpus); dup counts "
                       "map-side combinable on vec_id; K a sizing "
                       "parameter (SemDeDup: K ~ n/target-cell-size)"],
+    "dup_span_stats": ["grams from ONE bound projection + explode "
+                       "(no shuffle); corpus-wide repeat counts via "
+                       "a single count window partitioned on the "
+                       "8-byte gram hash; coverage union JVM-side on "
+                       "per-doc arrays after a doc_id groupBy"],
 }
 
 
