@@ -19,7 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parsee_pdf_reader_spark.operators.dedup import q_dedup_canonical
+from parsee_pdf_reader_spark.operators.dedup import (
+    q_dedup_canonical,
+    q_dup_span_stats,
+)
 from parsee_pdf_reader_spark.operators.textstats import (
     q_doc_quality_scores,
     q_sentence_boilerplate,
@@ -30,6 +33,10 @@ _LANGS = ("en", "de", "fr", "es")  # zh excluded at these thresholds
 _LEN_LO = 100
 _LEN_HI = 500
 _BOILER_MAX_FRAC = 0.3  # C4-style: reject docs dominated by dup lines
+_DUPSPAN_MAX_FRAC = 0.5  # Lee et al.: reject docs mostly made of
+#                          corpus-repeated 16-token spans (gate corpus:
+#                          bimodal at ~0 / ~1, 41-45/500 rejected —
+#                          exercised, not saturated)
 
 _LANG_SQL = ", ".join(f"'{x}'" for x in _LANGS)
 
@@ -54,17 +61,22 @@ def q_corpus_keep_filter(spark, sf_dir):
 
     - ``boiler_ok``: duplicated-sentence fraction (C4 line-dedup
       signal) at most {BF}; docs with no sentence rows coalesce to 0.
+    - ``dup_ok``: corpus-repeated-span coverage (Lee et al. 16-gram
+      signal, ``dup_span_stats``) at most {DF} of the doc's tokens —
+      catches partial-overlap templating the document-level near-dup
+      canonical can't see.
     - ``contam_ok``: NOT flagged by benchmark decontamination — and
       the held-out suite itself (the gate's ``doc_id < 40`` slice,
       which has no decontam row) is never shipped as training data,
       so its missing row coalesces to False.
     - ``sampled``: the deterministic per-language downsampling draw.
 
-    Scale: three more doc_id equi-joins over operators whose shapes
+    Scale: four more doc_id equi-joins over operators whose shapes
     are already scale-audited (boilerplate: agg + shuffle_hash
-    join-back; decontam: broadcast bench + combinable agg; sample:
-    zero-shuffle projection); all joins share the doc_id partitioning
-    the existing composition pays. No new hot keys."""
+    join-back; span coverage: one gram-hash count window; decontam:
+    broadcast bench + combinable agg; sample: zero-shuffle
+    projection); all joins share the doc_id partitioning the existing
+    composition pays. No new hot keys."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
     canon = q_dedup_canonical(spark, sf_dir).select(
@@ -73,6 +85,8 @@ def q_corpus_keep_filter(spark, sf_dir):
         "doc_id", (F.col("quality_bucket") != "low").alias("quality_ok"))
     boiler = q_sentence_boilerplate(spark, sf_dir).select(
         "doc_id", "boiler_frac")
+    spans = q_dup_span_stats(spark, sf_dir).select(
+        "doc_id", "dup_frac")
     contam = q_decontam_ngram_overlap(spark, sf_dir).select(
         "doc_id", "contaminated")
     samp = q_corpus_sample(spark, sf_dir).select("doc_id", "sampled")
@@ -80,19 +94,22 @@ def q_corpus_keep_filter(spark, sf_dir):
     len_ok = (F.col("n_chars") >= _LEN_LO) & (F.col("n_chars") <= _LEN_HI)
     boiler_ok = (F.coalesce(F.col("boiler_frac"), F.lit(0.0))
                  <= _BOILER_MAX_FRAC)
+    dup_ok = F.col("dup_frac") <= _DUPSPAN_MAX_FRAC
     contam_ok = F.coalesce(~F.col("contaminated"), F.lit(False))
     return (docs.join(canon, "doc_id").join(qual, "doc_id")
             .join(boiler, "doc_id", "left")
+            .join(spans, "doc_id")
             .join(contam, "doc_id", "left")
             .join(samp, "doc_id")
             .select(
                 "doc_id", "dedup_keep", "quality_ok",
                 lang_ok.alias("lang_ok"), len_ok.alias("len_ok"),
                 boiler_ok.alias("boiler_ok"),
+                dup_ok.alias("dup_ok"),
                 contam_ok.alias("contam_ok"),
                 "sampled",
                 (F.col("dedup_keep") & F.col("quality_ok")
-                 & lang_ok & len_ok & boiler_ok & contam_ok
+                 & lang_ok & len_ok & boiler_ok & dup_ok & contam_ok
                  & F.col("sampled")).alias("keep")))
 
 
@@ -105,18 +122,21 @@ def _keep_filter_sql() -> str:
            (d.n_chars between {_LEN_LO} and {_LEN_HI}) as len_ok,
            (coalesce(b.boiler_frac, 0) <= {_BOILER_MAX_FRAC})
                as boiler_ok,
+           (p.dup_frac <= {_DUPSPAN_MAX_FRAC}) as dup_ok,
            coalesce(not x.contaminated, false) as contam_ok,
            s.sampled as sampled,
            (c.keep and q.quality_bucket <> 'low'
             and d.lang in ({_LANG_SQL})
             and d.n_chars between {_LEN_LO} and {_LEN_HI}
             and coalesce(b.boiler_frac, 0) <= {_BOILER_MAX_FRAC}
+            and p.dup_frac <= {_DUPSPAN_MAX_FRAC}
             and coalesce(not x.contaminated, false)
             and s.sampled) as keep
     from documents d
     join ({_twin('dedup_canonical')}) c on c.doc_id = d.doc_id
     join ({_twin('doc_quality_scores')}) q on q.doc_id = d.doc_id
     left join ({_twin('sentence_boilerplate')}) b on b.doc_id = d.doc_id
+    join ({_twin('dup_span_stats')}) p on p.doc_id = d.doc_id
     left join ({_twin('decontam_ngram_overlap')}) x on x.doc_id = d.doc_id
     join ({_twin('corpus_sample')}) s on s.doc_id = d.doc_id
     """

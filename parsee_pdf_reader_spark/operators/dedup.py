@@ -1099,7 +1099,16 @@ def _dup_span_sql(n: int = _SPAN_N) -> str:
     """
 
 
-def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id"):
+def _span_union_size(ps, n: int):
+    """Distinct token positions covered by n-token windows starting at
+    the positions in array ``ps`` — JVM array ops, bounded by doc
+    length (overlapping windows union, never multiply)."""
+    return F.size(F.array_distinct(F.flatten(
+        F.transform(ps, lambda p: F.sequence(p, p + n - 1)))))
+
+
+def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id",
+                      skew_preagg: bool = False):
     """Per-document duplicated-span coverage: the fraction of a doc's
     tokens lying inside some n-token window that occurs >= 2 times
     corpus-wide (Lee et al.'s exact-substring dedup signal, rebuilt as
@@ -1119,7 +1128,16 @@ def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id"):
       by doc length);
     - the final stats join is keyed on ``doc_id``, the same
       partitioning the coverage aggregation just produced.
-    """
+
+    ``skew_preagg=True`` is the hot-gram variant: a boilerplate gram
+    present in millions of docs concentrates its rows on one reducer
+    of the count window. The pre-agg path first groups to one row per
+    (gram hash, doc) — map-side combinable, collapsing in-doc repeats
+    — so the window's reducer sees #docs-containing-the-gram rows with
+    their positions as arrays, not #occurrences rows. It costs one
+    extra exchange, which only pays past ~10^5 copies of a single
+    gram; results are identical (``test_dup_span_stats_preagg_path_
+    identical``)."""
     from pyspark.sql import Window
 
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
@@ -1143,26 +1161,30 @@ def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id"):
                     F.explode(gram_arr).alias("g"))
         .select("doc_id", "g.pos", "g.h")
     )
-    dupg = (
-        g.select("doc_id", "pos",
-                 F.count("*").over(Window.partitionBy("h")).alias("c"))
-        .where(F.col("c") >= 2)
-    )
+    if skew_preagg:
+        per = g.groupBy("h", "doc_id").agg(
+            F.collect_list("pos").alias("ps"),
+            F.count(F.lit(1)).alias("c"))
+        dupg = (
+            per.select(
+                "doc_id", "ps",
+                F.sum("c").over(Window.partitionBy("h")).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+        pos_lists = F.flatten(F.collect_list("ps"))
+    else:
+        dupg = (
+            g.select(
+                "doc_id", "pos",
+                F.count("*").over(Window.partitionBy("h")).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+        pos_lists = F.collect_list("pos")
     cov = (
         dupg.groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("ps"))
-        .select(
-            "doc_id",
-            F.size(
-                F.array_distinct(
-                    F.flatten(
-                        F.transform(
-                            "ps", lambda p: F.sequence(p, p + n - 1)
-                        )
-                    )
-                )
-            ).alias("dup_tokens"),
-        )
+        .agg(pos_lists.alias("ps"))
+        .select("doc_id",
+                _span_union_size(F.col("ps"), n).alias("dup_tokens"))
     )
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.size(toks).alias("n_tokens"))

@@ -101,7 +101,8 @@ def test_keep_filter_carries_r5_signals(spark):
 
     out = q_corpus_keep_filter(spark, SF)
     cols = set(out.columns)
-    assert {"boiler_ok", "contam_ok", "sampled", "keep"} <= cols
+    assert {"boiler_ok", "dup_ok", "contam_ok", "sampled",
+            "keep"} <= cols
     rows = {r.doc_id: r for r in out.collect()}
     # the held-out slice never ships as training data
     bench_ids = [d for d in rows if d < _BENCH_MAX_ID]
@@ -109,9 +110,11 @@ def test_keep_filter_carries_r5_signals(spark):
     # keep is the conjunction of every per-criterion flag
     for r in rows.values():
         want = (r.dedup_keep and r.quality_ok and r.lang_ok
-                and r.len_ok and r.boiler_ok and r.contam_ok
-                and r.sampled)
+                and r.len_ok and r.boiler_ok and r.dup_ok
+                and r.contam_ok and r.sampled)
         assert r.keep == want, r
+    # the span signal actually rejects part of the corpus
+    assert any(not r.dup_ok for r in rows.values())
     # sampling actually rejects part of the corpus (rates < 1)
     assert any(not r.sampled for r in rows.values())
     assert any(r.keep for r in rows.values())
@@ -503,3 +506,20 @@ def test_dup_span_stats_planted_spans(spark):
     assert (out[3].dup_tokens, out[4].dup_tokens) == (0, 0)
     assert (out[5].n_tokens, out[5].dup_tokens, out[5].dup_frac) == \
         (32, 32, 1.0)
+
+
+def test_dup_span_stats_preagg_path_identical(spark):
+    """The skew pre-agg variant (one row per (gram, doc) before the
+    count window) must be value-identical to the default single-
+    exchange path on a corpus where the signal actually fires."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        dup_span_stats_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    key = lambda r: (r.n_tokens, r.dup_tokens, r.dup_frac)  # noqa: E731
+    a = {r.doc_id: key(r) for r in dup_span_stats_df(docs).collect()}
+    b = {r.doc_id: key(r) for r in
+         dup_span_stats_df(docs, skew_preagg=True).collect()}
+    assert a == b
+    assert sum(1 for v in a.values() if v[1] > 0) > 20  # exercised
