@@ -218,6 +218,10 @@ _TAIL_TWINS = [
     #                         media_byte_features (measured)
     "html_strip_tags",      # registry twin of the extract_web_pages
     #                         golden flagship (measured, richer oracle)
+    "ann_lsh_buckets",      # bucket table of ann_near_dup_pairs
+    #                         (measured: same LSH planes + bucket
+    #                         equi-join, plus the exact-cosine verify)
+    #                         + plan pin test_plan_shapes
     "dedup_simhash",        # per-doc simhash signature projection; a
     #                         strict subset of simhash_near_pairs_wide
     #                         (measured: signature + banding + hamming

@@ -1079,3 +1079,130 @@ def q_source_mix_stats(spark, sf_dir):
             .select("source", "lang", "n_docs", "n_tokens",
                     F.round(F.col("n_tokens") / F.col("total"), 6)
                     .alias("token_share")))
+
+
+# ---------------------------------------------------------------------------
+# statistical LM quality score (CCNet-style perplexity filtering,
+# Wenzek et al. 2020, arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+
+#: per-term logprob quantization before the exact decimal sum. 9 dp:
+#: a 1-ulp ln() disagreement between the JVM and libm (~1e-16
+#: relative) flips a 9th-decimal rounding with probability ~2e-7 per
+#: term — negligible at gate scale, while 9 dp per term is far more
+#: than the 6 dp the reported mean carries.
+_LM_ROUND = 9
+_LM_DEC = f"decimal(22,{_LM_ROUND})"
+
+
+def _lm_score_sql() -> str:
+    return f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    big as (
+      select doc_id, tk[i+1] as w1, tk[i+2] as w2
+      from toks, unnest(range(greatest(len(tk) - 1, 0))) as t(i)
+    ),
+    vocab as (
+      select count(distinct t) as v
+      from (select unnest(tk) as t from toks)
+    ),
+    c1 as (select w1, count(*) as c from big group by w1),
+    c12 as (select w1, w2, count(*) as c from big group by w1, w2),
+    terms as (
+      select b.doc_id,
+             cast(round(ln((c12.c + 1.0) / (c1.c + vocab.v)),
+                        {_LM_ROUND}) as {_LM_DEC}) as lp
+      from big b
+      join c12 on c12.w1 = b.w1 and c12.w2 = b.w2
+      join c1 on c1.w1 = b.w1
+      cross join vocab
+    ),
+    scored as (
+      select doc_id, count(*) as n_bigrams,
+             round(cast(sum(lp) as double) / count(*), 6)
+                 as avg_logprob
+      from terms group by doc_id
+    )
+    select t.doc_id,
+           coalesce(s.n_bigrams, 0) as n_bigrams,
+           coalesce(s.avg_logprob, 0.0) as avg_logprob
+    from toks t left join scored s using (doc_id)
+    """
+
+
+def ngram_lm_score_df(docs, id_col: str = "doc_id"):
+    """Per-document mean bigram log-probability under an add-1-smoothed
+    bigram model trained on the corpus itself — the deterministic
+    stand-in for CCNet's KenLM perplexity filter (no model binary in
+    this container; the corpus-trained statistic ranks documents the
+    same way: templated/common text scores high, out-of-distribution
+    gibberish scores low). ``avg_logprob`` is monotone in perplexity
+    (ppl = exp(-avg_logprob)), so thresholds transfer directly.
+
+    Scale story:
+
+    - bigram instances come from ONE bound projection + explode;
+    - the count tables (c1, c12) are combinable groupBys — a stop-word
+      head like "the" partial-aggregates to one row per map task, so
+      counting is skew-free;
+    - the join back to the instance stream is shuffle-hash pinned
+      (a web-scale bigram vocabulary is billions of rows — never a
+      driver broadcast; the tfidf r3 lesson), and AQE's skew-join
+      split handles hot heads on the probe side;
+    - the vocabulary size is a one-row aggregate broadcast-cross-
+      joined inside the plan (the tfidf r4 shape — zero eager jobs);
+    - cross-engine float determinism: each term is quantized to
+      {R} dp and summed as decimal (exact, order-free), and the mean
+      is one double division of identical operands (the kmeans
+      quantize-then-decimal pattern).
+    """.replace("{R}", str(_LM_ROUND))
+    from parsee_pdf_reader_spark.operators.dedup import bind1
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"),
+                    lambda x: x != "")
+    big_arr = bind1(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
+            ),
+        ),
+    )
+    big = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(big_arr).alias("g"))
+           .select("doc_id", "g.w1", "g.w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (docs.select(F.explode(toks).alias("t"))
+             .agg(F.count_distinct("t").alias("v")))
+    lp = F.round(
+        F.log((F.col("c12") + F.lit(1.0))
+              / (F.col("c1") + F.col("v"))), _LM_ROUND
+    ).cast(_LM_DEC)
+    terms = (big.join(c12.hint("shuffle_hash"), ["w1", "w2"])
+             .join(c1.hint("shuffle_hash"), "w1")
+             .crossJoin(F.broadcast(vocab))
+             .select("doc_id", lp.alias("lp")))
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_logprob"))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+        .alias("n_bigrams"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"))
+
+
+@register("ngram_lm_score", _lm_score_sql())
+def q_ngram_lm_score(spark, sf_dir):
+    """Gate row of :func:`ngram_lm_score_df` over the documents table
+    (self-trained corpus statistic; production would train the counts
+    on a reference corpus and score the crawl)."""
+    return ngram_lm_score_df(_t(spark, sf_dir, "documents"))

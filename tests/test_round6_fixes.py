@@ -54,6 +54,7 @@ def test_flagships_inside_driver_gate_window():
         "seq_pack_materialize", "corpus_keep_filter",
         "decontam_ngram_overlap", "gopher_quality_rules",
         "c4_clean_text", "semdedup_keep", "dup_span_stats",
+        "ngram_lm_score",
     }
     missing = must - first50
     assert not missing, f"must-check rows outside gate window: {missing}"
@@ -523,3 +524,27 @@ def test_dup_span_stats_preagg_path_identical(spark):
          dup_span_stats_df(docs, skew_preagg=True).collect()}
     assert a == b
     assert sum(1 for v in a.values() if v[1] > 0) > 20  # exercised
+
+
+def test_ngram_lm_score_ranks_ood_text_lower(spark):
+    """The corpus-trained bigram LM must rank in-distribution text
+    (bigrams the corpus repeats) above out-of-distribution gibberish
+    (every bigram unseen elsewhere), and a doc with <2 tokens gets the
+    zero-bigram sentinel row."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        ngram_lm_score_df,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = ([(i, common) for i in range(1, 9)]
+            + [(20, "zxq vnm plw qrt bbk jjw ooz yyx mmv ccd"),
+               (21, "single")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm_score_df(docs).collect()}
+    assert len(out) == 10
+    # repeated-phrase docs: every bigram has count 8 -> high logprob
+    assert out[1].avg_logprob > out[20].avg_logprob
+    assert out[1].n_bigrams == 8 and out[20].n_bigrams == 9
+    assert out[21].n_bigrams == 0 and out[21].avg_logprob == 0.0
+    # all identical docs share one score
+    assert len({out[i].avg_logprob for i in range(1, 9)}) == 1

@@ -102,6 +102,11 @@ CHECKS = {
                       "cell key, never corpus x corpus); dup counts "
                       "map-side combinable on vec_id; K a sizing "
                       "parameter (SemDeDup: K ~ n/target-cell-size)"],
+    "ngram_lm_score": ["combinable bigram/head count aggs (stop-word "
+                       "heads partial-agg to one row per map task); "
+                       "shuffle_hash join-back (web-scale bigram "
+                       "vocab never driver-broadcast); vocab size a "
+                       "one-row broadcast; decimal term sum"],
     "dup_span_stats": ["grams from ONE bound projection + explode "
                        "(no shuffle); corpus-wide repeat counts via "
                        "a single count window partitioned on the "
