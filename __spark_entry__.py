@@ -235,6 +235,11 @@ _TAIL_TWINS = [
     "corpus_token_budget",  # window-over-aggregate twin of
     #                         corpus_length_quantiles (measured) over
     #                         token_counts' scalar stack (measured)
+    "lm_ppl_buckets",       # quantile thirds over ngram_lm_score
+    #                         (measured); histogram-window shape pinned
+    #                         by corpus_length_quantiles (measured);
+    #                         embedded in corpus_keep_filter's measured
+    #                         twin as lm_ok
     "source_mix_stats",     # grouped-agg + one-row-broadcast share,
     #                         the same shapes rollup_order_revenue and
     #                         tfidf_top_terms (both measured) pin

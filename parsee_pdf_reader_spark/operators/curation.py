@@ -25,6 +25,7 @@ from parsee_pdf_reader_spark.operators.dedup import (
 )
 from parsee_pdf_reader_spark.operators.textstats import (
     q_doc_quality_scores,
+    q_lm_ppl_buckets,
     q_sentence_boilerplate,
 )
 from parsee_pdf_reader_spark.plans.queries import REGISTRY, _t, register
@@ -65,6 +66,9 @@ def q_corpus_keep_filter(spark, sf_dir):
       signal, ``dup_span_stats``) at most {DF} of the doc's tokens —
       catches partial-overlap templating the document-level near-dup
       canonical can't see.
+    - ``lm_ok``: not in the CCNet perplexity TAIL (``lm_ppl_buckets``
+      — quantile thirds over the corpus-trained bigram LM score;
+      CCNet keeps head+middle, Wenzek et al. 2020 §4.3).
     - ``contam_ok``: NOT flagged by benchmark decontamination — and
       the held-out suite itself (the gate's ``doc_id < 40`` slice,
       which has no decontam row) is never shipped as training data,
@@ -87,6 +91,8 @@ def q_corpus_keep_filter(spark, sf_dir):
         "doc_id", "boiler_frac")
     spans = q_dup_span_stats(spark, sf_dir).select(
         "doc_id", "dup_frac")
+    lm = q_lm_ppl_buckets(spark, sf_dir).select(
+        "doc_id", (F.col("ppl_bucket") != "tail").alias("lm_ok"))
     contam = q_decontam_ngram_overlap(spark, sf_dir).select(
         "doc_id", "contaminated")
     samp = q_corpus_sample(spark, sf_dir).select("doc_id", "sampled")
@@ -99,6 +105,7 @@ def q_corpus_keep_filter(spark, sf_dir):
     return (docs.join(canon, "doc_id").join(qual, "doc_id")
             .join(boiler, "doc_id", "left")
             .join(spans, "doc_id")
+            .join(lm, "doc_id")
             .join(contam, "doc_id", "left")
             .join(samp, "doc_id")
             .select(
@@ -106,10 +113,12 @@ def q_corpus_keep_filter(spark, sf_dir):
                 lang_ok.alias("lang_ok"), len_ok.alias("len_ok"),
                 boiler_ok.alias("boiler_ok"),
                 dup_ok.alias("dup_ok"),
+                "lm_ok",
                 contam_ok.alias("contam_ok"),
                 "sampled",
                 (F.col("dedup_keep") & F.col("quality_ok")
-                 & lang_ok & len_ok & boiler_ok & dup_ok & contam_ok
+                 & lang_ok & len_ok & boiler_ok & dup_ok
+                 & F.col("lm_ok") & contam_ok
                  & F.col("sampled")).alias("keep")))
 
 
@@ -123,6 +132,7 @@ def _keep_filter_sql() -> str:
            (coalesce(b.boiler_frac, 0) <= {_BOILER_MAX_FRAC})
                as boiler_ok,
            (p.dup_frac <= {_DUPSPAN_MAX_FRAC}) as dup_ok,
+           (l.ppl_bucket <> 'tail') as lm_ok,
            coalesce(not x.contaminated, false) as contam_ok,
            s.sampled as sampled,
            (c.keep and q.quality_bucket <> 'low'
@@ -130,6 +140,7 @@ def _keep_filter_sql() -> str:
             and d.n_chars between {_LEN_LO} and {_LEN_HI}
             and coalesce(b.boiler_frac, 0) <= {_BOILER_MAX_FRAC}
             and p.dup_frac <= {_DUPSPAN_MAX_FRAC}
+            and l.ppl_bucket <> 'tail'
             and coalesce(not x.contaminated, false)
             and s.sampled) as keep
     from documents d
@@ -137,6 +148,7 @@ def _keep_filter_sql() -> str:
     join ({_twin('doc_quality_scores')}) q on q.doc_id = d.doc_id
     left join ({_twin('sentence_boilerplate')}) b on b.doc_id = d.doc_id
     join ({_twin('dup_span_stats')}) p on p.doc_id = d.doc_id
+    join ({_twin('lm_ppl_buckets')}) l on l.doc_id = d.doc_id
     left join ({_twin('decontam_ngram_overlap')}) x on x.doc_id = d.doc_id
     join ({_twin('corpus_sample')}) s on s.doc_id = d.doc_id
     """

@@ -1206,3 +1206,60 @@ def q_ngram_lm_score(spark, sf_dir):
     (self-trained corpus statistic; production would train the counts
     on a reference corpus and score the crawl)."""
     return ngram_lm_score_df(_t(spark, sf_dir, "documents"))
+
+
+def _lm_buckets_sql() -> str:
+    return f"""
+    with s as ({_lm_score_sql()}),
+    hist as (
+      select avg_logprob, count(*) as c from s group by avg_logprob
+    ),
+    cum as (
+      select avg_logprob,
+             sum(c) over (order by avg_logprob desc
+                          rows unbounded preceding) as cum
+      from hist
+    ),
+    tot as (select count(*) as n from documents)
+    select s.doc_id, s.avg_logprob,
+           case when cum.cum <= ceil(tot.n / 3.0) then 'head'
+                when cum.cum <= ceil(2 * tot.n / 3.0) then 'middle'
+                else 'tail' end as ppl_bucket
+    from s join cum using (avg_logprob) cross join tot
+    """
+
+
+@register("lm_ppl_buckets", _lm_buckets_sql())
+def q_lm_ppl_buckets(spark, sf_dir):
+    """CCNet's actual selection mechanism over the LM statistic:
+    head/middle/tail thirds by corpus-wide score rank (Wenzek et al.
+    2020 §4.3 — CCNet keeps head+middle and drops the tail rather
+    than applying an absolute threshold, which would not transfer
+    across corpus sizes: the add-1 vocabulary term shifts every score
+    as the corpus grows).
+
+    Scale: the quantile boundary comes from a HISTOGRAM of distinct
+    6-dp scores (groupBy — combinable) with one running-sum window
+    over that histogram, never a global sort of the corpus (the
+    corpus_length_quantiles shape: window input cardinality is
+    #distinct scores << #docs); docs join their bucket back on the
+    score value, and the corpus count is a one-row broadcast. Ties at
+    a boundary stay in one bucket deterministically (inclusive
+    cumulative count on the grouped value)."""
+    from pyspark.sql import Window
+
+    s = q_ngram_lm_score(spark, sf_dir)
+    hist = s.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("c"))
+    w = (Window.orderBy(F.desc("avg_logprob"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select("avg_logprob", F.sum("c").over(w).alias("cum"))
+    tot = (_t(spark, sf_dir, "documents")
+           .agg(F.count(F.lit(1)).alias("n")))
+    bucket = (
+        F.when(F.col("cum") <= F.ceil(F.col("n") / 3.0), "head")
+        .when(F.col("cum") <= F.ceil(2 * F.col("n") / 3.0), "middle")
+        .otherwise("tail"))
+    return (s.join(cum, "avg_logprob")
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id", "avg_logprob",
+                    bucket.alias("ppl_bucket")))

@@ -102,7 +102,7 @@ def test_keep_filter_carries_r5_signals(spark):
 
     out = q_corpus_keep_filter(spark, SF)
     cols = set(out.columns)
-    assert {"boiler_ok", "dup_ok", "contam_ok", "sampled",
+    assert {"boiler_ok", "dup_ok", "lm_ok", "contam_ok", "sampled",
             "keep"} <= cols
     rows = {r.doc_id: r for r in out.collect()}
     # the held-out slice never ships as training data
@@ -112,10 +112,13 @@ def test_keep_filter_carries_r5_signals(spark):
     for r in rows.values():
         want = (r.dedup_keep and r.quality_ok and r.lang_ok
                 and r.len_ok and r.boiler_ok and r.dup_ok
-                and r.contam_ok and r.sampled)
+                and r.lm_ok and r.contam_ok and r.sampled)
         assert r.keep == want, r
     # the span signal actually rejects part of the corpus
     assert any(not r.dup_ok for r in rows.values())
+    # the perplexity tail is a genuine third of the corpus
+    n_lm_bad = sum(1 for r in rows.values() if not r.lm_ok)
+    assert abs(n_lm_bad - len(rows) / 3) <= 1, n_lm_bad
     # sampling actually rejects part of the corpus (rates < 1)
     assert any(not r.sampled for r in rows.values())
     assert any(r.keep for r in rows.values())
