@@ -1204,3 +1204,103 @@ def q_dup_span_stats(spark, sf_dir):
     the within-corpus companion of ``decontam_ngram_overlap`` (which
     runs the same gram machinery against a held-out slice)."""
     return dup_span_stats_df(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-corpus dedup: new crawl vs a materialized band index
+# ---------------------------------------------------------------------------
+
+_IDX_SPLIT = 250  # gate instantiation: history = doc_id < 250
+
+
+def band_index_df(docs, id_col: str = "doc_id"):
+    """The materializable LSH band index of a historical corpus: one
+    row per (b, band_hash, doc_id) — exactly the claim keys the
+    streaming path uses, as a durable batch table. Production writes
+    this once per corpus snapshot (partitioned/bucketed on
+    ``band_hash``) and every incremental crawl joins against it
+    without re-hashing history."""
+    return (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(minhash_band_hashes("text")).alias("bh"))
+        .select(F.col("bh.b").alias("b"),
+                F.col("bh.band_hash").alias("band_hash"),
+                "doc_id"))
+
+
+def dedup_against_index(new_docs, index_df, id_col: str = "doc_id"):
+    """Incremental batch dedup: flag every NEW document that shares at
+    least one LSH band with the historical index (the batch twin of
+    the streaming min-claim — same band arithmetic, so a doc the
+    stream would have claimed against history is exactly a doc this
+    flags). Returns (doc_id, n_hit_bands, matched_doc, is_new):
+    ``matched_doc`` is the smallest history doc_id among band matches
+    (the canonical the pipeline keeps), NULL for genuinely new docs.
+
+    Scale: the index is the big side (3 rows per historical doc) and
+    arrives pre-partitioned on its join key from the snapshot write,
+    so only the new crawl (orders of magnitude smaller) shuffles; the
+    equi-join on (b, band_hash) is shuffle_hash-pinned — broadcasting
+    a 10^12-doc index is impossible, and AQE's skew split covers a
+    viral band bucket. The per-new-doc aggregation is combinable."""
+    nb = band_index_df(new_docs, id_col).select(
+        "b", "band_hash", F.col("doc_id").alias("new_id"))
+    hits = (nb.join(index_df.hint("shuffle_hash"),
+                    ["b", "band_hash"])
+            .groupBy("new_id")
+            .agg(F.count_distinct("b").alias("n_hit_bands"),
+                 F.min("doc_id").alias("matched_doc")))
+    base = new_docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(hits, base.doc_id == hits.new_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_hit_bands", F.lit(0)).cast("int")
+                .alias("n_hit_bands"),
+                "matched_doc",
+                F.col("n_hit_bands").isNull().alias("is_new")))
+
+
+_BANDS_CTE_SQL = f"""
+    select doc_id, b,
+           md5(b::varchar || '|' ||
+               array_to_string(list_slice(sig, b*{_BAND_R} + 1,
+                                          b*{_BAND_R} + {_BAND_R}), '|'))
+               as band_hash
+    from (select doc_id, {_SIG_SQL} as sig
+          from (select doc_id, {_SHINGLES_SQL} as sh
+                from documents) s) sigs,
+         range({_BANDS}) t(b)
+"""
+
+_DEDUP_AGAINST_INDEX_SQL = f"""
+    with bands as ({_BANDS_CTE_SQL}),
+    hist as (select * from bands where doc_id < {_IDX_SPLIT}),
+    new as (select * from bands where doc_id >= {_IDX_SPLIT}),
+    hits as (
+      select n.doc_id as new_id,
+             count(distinct n.b) as n_hit_bands,
+             min(h.doc_id) as matched_doc
+      from new n join hist h
+        on n.b = h.b and n.band_hash = h.band_hash
+      group by n.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(x.n_hit_bands, 0) as int) as n_hit_bands,
+           x.matched_doc,
+           (x.n_hit_bands is null) as is_new
+    from (select doc_id from documents
+          where doc_id >= {_IDX_SPLIT}) d
+    left join hits x on x.new_id = d.doc_id
+"""
+
+
+@register("dedup_against_index", _DEDUP_AGAINST_INDEX_SQL)
+def q_dedup_against_index(spark, sf_dir):
+    """Gate instantiation of the incremental topology: history =
+    ``doc_id < {S}``, new crawl = the rest (deterministic split; in
+    production ``index_df`` is the persisted band table of the last
+    snapshot)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") < _IDX_SPLIT)
+    new = docs.where(F.col("doc_id") >= _IDX_SPLIT)
+    return dedup_against_index(new, band_index_df(hist))

@@ -54,7 +54,7 @@ def test_flagships_inside_driver_gate_window():
         "seq_pack_materialize", "corpus_keep_filter",
         "decontam_ngram_overlap", "gopher_quality_rules",
         "c4_clean_text", "semdedup_keep", "dup_span_stats",
-        "ngram_lm_score",
+        "ngram_lm_score", "dedup_against_index",
     }
     missing = must - first50
     assert not missing, f"must-check rows outside gate window: {missing}"
@@ -551,3 +551,37 @@ def test_ngram_lm_score_ranks_ood_text_lower(spark):
     assert out[21].n_bigrams == 0 and out[21].avg_logprob == 0.0
     # all identical docs share one score
     assert len({out[i].avg_logprob for i in range(1, 9)}) == 1
+
+
+def test_dedup_against_index_flags_history_matches(spark):
+    """Incremental cross-corpus dedup: a new doc that near-duplicates
+    a history doc (one trailing word changed — shares >=1 LSH band)
+    must be flagged with the history canonical as matched_doc; a
+    genuinely new doc passes as is_new."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        band_index_df, dedup_against_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank tonight")
+    fresh = ("annual shareholder meeting scheduled for june with "
+             "board election and audit review")
+    hist = spark.createDataFrame(
+        [(1, base), (2, "unrelated history content about mountain "
+                        "weather and snowfall records")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, near), (11, fresh), (12, base)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup_against_index(new, band_index_df(hist)).collect()}
+    assert len(out) == 3
+    assert not out[10].is_new and out[10].matched_doc == 1
+    assert out[10].n_hit_bands >= 1
+    # exact replay hits all bands and matches its history copy
+    assert not out[12].is_new and out[12].matched_doc == 1
+    from parsee_pdf_reader_spark.operators.dedup import _BANDS
+    assert out[12].n_hit_bands == _BANDS
+    assert out[11].is_new and out[11].matched_doc is None

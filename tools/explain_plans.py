@@ -102,6 +102,13 @@ CHECKS = {
                       "cell key, never corpus x corpus); dup counts "
                       "map-side combinable on vec_id; K a sizing "
                       "parameter (SemDeDup: K ~ n/target-cell-size)"],
+    "dedup_against_index": ["asymmetric band equi-join: the "
+                            "materialized history index is the big "
+                            "side (pre-partitioned at snapshot "
+                            "write), only the new crawl shuffles; "
+                            "shuffle_hash-pinned (a 10^12-doc index "
+                            "never broadcasts); combinable per-new-"
+                            "doc agg"],
     "ngram_lm_score": ["combinable bigram/head count aggs (stop-word "
                        "heads partial-agg to one row per map task); "
                        "shuffle_hash join-back (web-scale bigram "
