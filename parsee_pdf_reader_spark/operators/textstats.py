@@ -1130,7 +1130,7 @@ def _lm_score_sql() -> str:
     """
 
 
-def ngram_lm_score_df(docs, id_col: str = "doc_id"):
+def ngram_lm_score_df(docs, id_col: str = "doc_id", train_df=None):
     """Per-document mean bigram log-probability under an add-1-smoothed
     bigram model trained on the corpus itself — the deterministic
     stand-in for CCNet's KenLM perplexity filter (no model binary in
@@ -1155,6 +1155,13 @@ def ngram_lm_score_df(docs, id_col: str = "doc_id"):
       {R} dp and summed as decimal (exact, order-free), and the mean
       is one double division of identical operands (the kmeans
       quantize-then-decimal pattern).
+
+    ``train_df`` separates training from scoring (the decontam_against
+    pattern): counts and vocabulary come from ``train_df`` (CCNet
+    trains on a reference corpus — Wikipedia — and scores the crawl);
+    a scored bigram the reference never saw backs off to the add-1
+    floor ln(1 / (head_count + V)). Default (None) is the self-trained
+    corpus statistic the gate row pins.
     """.replace("{R}", str(_LM_ROUND))
     from parsee_pdf_reader_spark.operators.dedup import bind1
 
@@ -1173,19 +1180,25 @@ def ngram_lm_score_df(docs, id_col: str = "doc_id"):
             ),
         ),
     )
-    big = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(big_arr).alias("g"))
-           .select("doc_id", "g.w1", "g.w2"))
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (docs.select(F.explode(toks).alias("t"))
+
+    def bigrams(df):
+        return (df.select(F.col(id_col).alias("doc_id"),
+                          F.explode(big_arr).alias("g"))
+                .select("doc_id", "g.w1", "g.w2"))
+
+    train = train_df if train_df is not None else docs
+    big = bigrams(docs)
+    tbig = bigrams(train) if train_df is not None else big
+    c12 = tbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tbig.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (train.select(F.explode(toks).alias("t"))
              .agg(F.count_distinct("t").alias("v")))
     lp = F.round(
-        F.log((F.col("c12") + F.lit(1.0))
-              / (F.col("c1") + F.col("v"))), _LM_ROUND
+        F.log((F.coalesce("c12", F.lit(0)) + F.lit(1.0))
+              / (F.coalesce("c1", F.lit(0)) + F.col("v"))), _LM_ROUND
     ).cast(_LM_DEC)
-    terms = (big.join(c12.hint("shuffle_hash"), ["w1", "w2"])
-             .join(c1.hint("shuffle_hash"), "w1")
+    terms = (big.join(c12.hint("shuffle_hash"), ["w1", "w2"], "left")
+             .join(c1.hint("shuffle_hash"), "w1", "left")
              .crossJoin(F.broadcast(vocab))
              .select("doc_id", lp.alias("lp")))
     scored = terms.groupBy("doc_id").agg(

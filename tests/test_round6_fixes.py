@@ -585,3 +585,28 @@ def test_dedup_against_index_flags_history_matches(spark):
     from parsee_pdf_reader_spark.operators.dedup import _BANDS
     assert out[12].n_hit_bands == _BANDS
     assert out[11].is_new and out[11].matched_doc is None
+
+
+def test_ngram_lm_score_separate_training_corpus(spark):
+    """train_df separates training from scoring (the decontam_against
+    pattern): a doc made of reference-corpus phrases outscores a doc
+    of bigrams the reference never saw (which backs off to the add-1
+    floor), and the self-train default is unchanged by the refactor."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        ngram_lm_score_df,
+    )
+
+    ref_phrase = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(i, ref_phrase) for i in range(100, 108)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, ref_phrase), (2, "zxq vnm plw qrt bbk jjw ooz yyx")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_lm_score_df(docs, train_df=train).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob
+    # unseen bigrams hit the add-1 floor exactly: ln(1 / (0 + V))
+    import math
+    v = 8  # distinct tokens in the reference phrase
+    assert out[2].avg_logprob == round(math.log(1.0 / v), 6)
