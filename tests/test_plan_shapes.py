@@ -272,3 +272,37 @@ def test_c4_clean_text_no_corpus_broadcast(spark):
     assert m is not None, plan
     assert not re.search(
         r"BroadcastHashJoin \[sentence#\d+\]", plan), plan
+
+
+def test_dedup_against_index_band_join_shuffled(spark):
+    """Round 6: the new-crawl vs history-index band join must go
+    through the shuffle (shuffle_hash hint on the index side — a
+    10^12-doc band index never fits a driver broadcast) and the
+    per-new-doc hit aggregation keys on the new doc id. Only the band
+    join is pinned; the final base left-join is size-based."""
+    from parsee_pdf_reader_spark.operators.dedup import (
+        q_dedup_against_index,
+    )
+
+    plan = _physical(q_dedup_against_index(spark, SF))
+    m = re.search(r"ShuffledHashJoin \[b#\d+, band_hash#\d+\]", plan)
+    assert m is not None, plan
+    assert not re.search(
+        r"BroadcastHashJoin \[b#\d+, band_hash#\d+\]", plan), plan
+
+
+def test_ngram_lm_score_count_joins_shuffled(spark):
+    """Round 6: the bigram-count join-backs are shuffle_hash-pinned
+    (web-scale bigram vocabulary never broadcasts — the tfidf r3
+    lesson). Only the count joins are pinned; the final doc_id
+    left-join is UN-hinted and size-based (broadcasts at this tiny SF,
+    SMJ at scale — the c4 precedent)."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        q_ngram_lm_score,
+    )
+
+    plan = _physical(q_ngram_lm_score(spark, SF))
+    assert re.search(r"ShuffledHashJoin \[w1#\d+, w2#\d+\]",
+                     plan), plan
+    assert re.search(r"ShuffledHashJoin \[w1#\d+\]", plan), plan
+    assert not re.search(r"BroadcastHashJoin \[w1#\d+", plan), plan

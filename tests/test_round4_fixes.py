@@ -205,13 +205,14 @@ def test_corpus_keep_filter_every_criterion_bites(spark):
     for flag in ("dedup_keep", "quality_ok", "lang_ok", "len_ok"):
         assert any(not getattr(r, flag) for r in rows), flag
     # r6 extended the conjunction with the round-5 signals
-    # (boiler/contam/sample); the original four criteria still bite
-    # independently (asserted above) and keep is the FULL conjunction
+    # (boiler/contam/sample) and then the span/LM signals (dup_ok,
+    # lm_ok); the original four criteria still bite independently
+    # (asserted above) and keep is the FULL conjunction
     for r in rows:
         assert r.keep == (r.dedup_keep and r.quality_ok
                           and r.lang_ok and r.len_ok
-                          and r.boiler_ok and r.contam_ok
-                          and r.sampled)
+                          and r.boiler_ok and r.dup_ok and r.lm_ok
+                          and r.contam_ok and r.sampled)
 
 
 def test_kmeans_rounds_parameterized(spark):
