@@ -2,6 +2,8 @@
 corpus build actually runs.
 
     pages (url, warc_ts, html, text, lang)
+      -> latest-snapshot-per-url prune (re-crawls: newest warc_ts
+         wins, BEFORE the extraction kernel pays for stale bytes)
       -> content dispatch (layout / html / unknown)
       -> extraction (layout kernel | DOM boilerplate strip)
       -> document quality filter (length / stopword signals)
@@ -29,6 +31,22 @@ from parsee_pdf_reader_spark.pipeline import extract_pages
 _BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
+def latest_snapshot_per_url(pages_df: DataFrame) -> DataFrame:
+    """Keep only the newest crawl snapshot of each url (re-crawled
+    pages appear once per ``warc_ts``; production corpora keep the
+    latest and drop the stale bytes BEFORE the expensive extraction
+    kernel ever runs — input-side pruning, the same reasoning as
+    predicate pushdown). One window on the url key; ties on warc_ts
+    (same-second re-fetch) break deterministically by the larger
+    payload so retries cannot flip the winner."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.length("html")))
+    return (pages_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
 def build_training_corpus(pages_df: DataFrame,
                           min_tokens: int = 30) -> DataFrame:
     """pages -> deduplicated, quality-filtered training rows:
@@ -36,6 +54,11 @@ def build_training_corpus(pages_df: DataFrame,
     is_canonical, near_dup_cluster, keep). The training set is
     ``where keep``: exact-canonical AND the longest doc of its
     near-dup component."""
+    # mandatory, not optional: url is the document identity of every
+    # downstream stage (canonical window, cluster join, keep rank), so
+    # multiple snapshots of one url MUST be resolved first — and doing
+    # it here means the extraction kernel never pays for stale bytes
+    pages_df = latest_snapshot_per_url(pages_df)
     kind = sniff_kind_col()
     layout_rows = (
         extract_pages(pages_df.where(kind == "layout"))

@@ -487,3 +487,52 @@ def test_checkpoint_discovery_is_metadata_only(spark, tmp_path):
     ck2 = CheckpointedExtraction(spark, inp2, outp, run_id="t1")
     assert ck2._hive_partition_values("warc_ts") is None
     assert ck2.pending_partitions()  # expression fallback still works
+
+
+def test_latest_snapshot_per_url_prunes_recrawls(spark):
+    """Round 6: re-crawled urls keep only the newest warc_ts snapshot,
+    pruned BEFORE the extraction kernel; a same-timestamp re-fetch
+    breaks the tie deterministically by payload size. The corpus build
+    then emits exactly one row for the re-crawled url, carrying the
+    newer content."""
+    import datetime
+
+    from parsee_pdf_reader_spark.sources.synth import build_html_document
+    from parsee_pdf_reader_spark.training_pipeline import (
+        build_training_corpus,
+        latest_snapshot_per_url,
+    )
+
+    t1 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    t2 = datetime.datetime(2025, 2, 1, 12, 0, 0)
+    old_txt = " ".join(f"old{i}word" for i in range(60))
+    new_txt = " ".join(f"new{i}word" for i in range(60))
+    old_blob, _ = build_html_document("page", 42, old_txt)
+    new_blob, _ = build_html_document("page", 42, new_txt)
+    other_blob, _ = build_html_document("other", 42)
+    url = "https://r.example/page"
+    pages = spark.createDataFrame(
+        [(url, t1, old_blob, old_txt, "en"),
+         (url, t2, new_blob, new_txt, "en"),
+         ("https://r.example/other", t1, other_blob, "x", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    kept = {r.url: r for r in latest_snapshot_per_url(pages).collect()}
+    assert len(kept) == 2
+    assert kept[url].warc_ts == t2 and kept[url].html == new_blob
+    # same-timestamp tie: the larger payload wins, order-free
+    tie = spark.createDataFrame(
+        [(url, t1, b"small", "s", "en"),
+         (url, t1, b"much larger payload", "l", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    trow = latest_snapshot_per_url(tie).collect()
+    assert len(trow) == 1 and trow[0].html == b"much larger payload"
+    # the corpus build sees one row per url, with the newer content
+    corpus = build_training_corpus(pages).collect()
+    rows = [r for r in corpus if r.url == url]
+    assert len(rows) == 1
+    assert rows[0].warc_ts == t2 and "new0word" in rows[0].doc_text
+    # the prune is MANDATORY (url is the document identity of every
+    # downstream stage): there is no opt-out that would let duplicate
+    # urls reach the url-keyed canonical/cluster/keep joins
