@@ -240,6 +240,12 @@ _TAIL_TWINS = [
     "corpus_token_budget",  # window-over-aggregate twin of
     #                         corpus_length_quantiles (measured) over
     #                         token_counts' scalar stack (measured)
+    "mix_rebalance_plan",   # rate derivation feeding corpus_sample
+    #                         (measured); shapes — grouped agg, one-row
+    #                         broadcast total, #langs-row share window —
+    #                         pinned by rollup/tfidf/quantiles
+    #                         (measured); cap/renorm behavior pytest-
+    #                         pinned
     "lm_ppl_buckets",       # quantile thirds over ngram_lm_score
     #                         (measured); histogram-window shape pinned
     #                         by corpus_length_quantiles (measured);

@@ -327,3 +327,95 @@ REGISTRY["decontam_ngram_overlap"] = (
 # reorder), so the driver-gate query order is unchanged.
 REGISTRY["corpus_keep_filter"] = (
     q_corpus_keep_filter, _keep_filter_sql())
+
+
+# ---------------------------------------------------------------------------
+# data-mixture rebalance planning: derive the per-stratum sampling
+# rates that corpus_sample consumes, from a target mix + token budget
+# ---------------------------------------------------------------------------
+
+#: target language mix (normalized weights) and the token budget as a
+#: fraction of the corpus — the knobs a pretraining run publishes next
+#: to its source-mix report.
+_MIX_TARGET = {"en": 0.40, "de": 0.20, "fr": 0.20, "es": 0.15,
+               "zh": 0.05}
+_MIX_DEFAULT_W = 0.05
+_MIX_BUDGET_FRAC = 0.5
+
+_MIX_W_SQL = "case " + " ".join(
+    f"when lang = '{k}' then {v}" for k, v in _MIX_TARGET.items()
+) + f" else {_MIX_DEFAULT_W} end"
+
+
+@register(
+    "mix_rebalance_plan",
+    f"""
+    with agg as (
+      select lang, cast(sum(len({{TOKS}})) as bigint) as lang_tokens
+      from documents group by lang
+    ),
+    tot as (select cast(sum(len({{TOKS}})) as double) as total
+            from documents),
+    rated as (
+      select a.lang, a.lang_tokens,
+             {_MIX_W_SQL} as target_share,
+             least(1.0, ({_MIX_W_SQL}) * t.total * {_MIX_BUDGET_FRAC}
+                        / a.lang_tokens) as rate_raw
+      from agg a cross join tot t
+    ),
+    planned as (
+      select lang, lang_tokens, target_share,
+             round(rate_raw, 6) as rate,
+             cast(floor(round(rate_raw, 6) * lang_tokens) as bigint)
+                 as expected_tokens
+      from rated
+    )
+    select lang, lang_tokens, target_share, rate, expected_tokens,
+           round(expected_tokens
+                 / sum(expected_tokens) over (), 6) as realized_share
+    from planned
+    """.replace("{TOKS}",
+                "list_filter(string_split_regex(lower(text), "
+                "'\\s+'), x -> x <> '')"),
+)
+def q_mix_rebalance_plan(spark, sf_dir):
+    """Derive per-language sampling rates from a target mix + token
+    budget: rate = min(1, weight * budget / stratum_tokens). An
+    undersupplied stratum caps at 1.0 (you cannot sample more than
+    exists) and the realized share re-normalizes over the planned
+    token counts — the report shows exactly how far the achievable
+    mix is from the target. These rates are what ``corpus_sample``'s
+    per-language thresholds are tuned from.
+
+    Scale: one combinable groupBy(lang) over the documents scan, the
+    corpus total as a one-row broadcast cross join (tfidf r4 shape),
+    and the share window runs over ~#languages aggregated rows — the
+    corpus_token_budget shape, never the corpus."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    from parsee_pdf_reader_spark.operators.textstats import _toks_lower
+
+    n_toks = F.size(_toks_lower())
+    agg = (docs.groupBy("lang")
+           .agg(F.sum(n_toks).cast("long").alias("lang_tokens")))
+    tot = docs.agg(F.sum(n_toks).cast("double").alias("total"))
+    w = F.lit(_MIX_DEFAULT_W)
+    for k, v in _MIX_TARGET.items():
+        w = F.when(F.col("lang") == k, F.lit(v)).otherwise(w)
+    rate_raw = F.least(
+        F.lit(1.0),
+        w * F.col("total") * _MIX_BUDGET_FRAC / F.col("lang_tokens"))
+    rate = F.round(rate_raw, 6)
+    expected = F.floor(rate * F.col("lang_tokens")).cast("bigint")
+    planned = (agg.crossJoin(F.broadcast(tot))
+               .select("lang", "lang_tokens",
+                       w.alias("target_share"), rate.alias("rate"),
+                       expected.alias("expected_tokens")))
+    share = (F.col("expected_tokens")
+             / F.sum("expected_tokens").over(
+                 Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)))
+    return planned.select("lang", "lang_tokens", "target_share",
+                          "rate", "expected_tokens",
+                          F.round(share, 6).alias("realized_share"))

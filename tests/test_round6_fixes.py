@@ -610,3 +610,31 @@ def test_ngram_lm_score_separate_training_corpus(spark):
     import math
     v = 8  # distinct tokens in the reference phrase
     assert out[2].avg_logprob == round(math.log(1.0 / v), 6)
+
+
+def test_mix_rebalance_plan_caps_and_renormalizes(spark):
+    """Mixture planning: rate = min(1, weight*budget/stratum); an
+    undersupplied stratum caps at 1.0 and the realized shares
+    renormalize over planned tokens (summing to 1), exposing the gap
+    to the target mix."""
+    from parsee_pdf_reader_spark.operators.curation import (
+        _MIX_BUDGET_FRAC, _MIX_TARGET, q_mix_rebalance_plan,
+    )
+
+    rows = {r.lang: r for r in
+            q_mix_rebalance_plan(spark, SF).collect()}
+    assert set(rows) == set(_MIX_TARGET)
+    total = sum(r.lang_tokens for r in rows.values())
+    budget = total * _MIX_BUDGET_FRAC
+    for lang, r in rows.items():
+        want = min(1.0, _MIX_TARGET[lang] * budget / r.lang_tokens)
+        assert abs(r.rate - want) < 1e-6, (lang, r.rate, want)
+        assert r.expected_tokens <= r.lang_tokens
+    capped = [r for r in rows.values() if r.rate == 1.0]
+    uncapped = [r for r in rows.values() if r.rate < 1.0]
+    assert uncapped, "budget must actually bind somewhere"
+    shares = sum(r.realized_share for r in rows.values())
+    assert abs(shares - 1.0) < 1e-4, shares
+    # a capped stratum's realized share falls below its target
+    for r in capped:
+        assert r.realized_share <= _MIX_TARGET[r.lang] + 1e-6
