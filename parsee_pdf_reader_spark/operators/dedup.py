@@ -1130,14 +1130,27 @@ def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id",
       partitioning the coverage aggregation just produced.
 
     ``skew_preagg=True`` is the hot-gram variant: a boilerplate gram
-    present in millions of docs concentrates its rows on one reducer
-    of the count window. The pre-agg path first groups to one row per
-    (gram hash, doc) — map-side combinable, collapsing in-doc repeats
-    — so the window's reducer sees #docs-containing-the-gram rows with
-    their positions as arrays, not #occurrences rows. It costs one
-    extra exchange, which only pays past ~10^5 copies of a single
-    gram; results are identical (``test_dup_span_stats_preagg_path_
-    identical``)."""
+    present in millions of docs concentrates ALL its (doc, pos, h)
+    rows on one reducer of the count window (WindowExec cannot
+    partial-aggregate — every row of the hot partition lands on, and
+    is sorted by, a single task). The variant replaces the window with
+    a combinable ``groupBy(h).count`` — each map task emits ONE row
+    per distinct gram, so the hot reducer receives at most #tasks rows
+    — followed by an inner join back on ``h`` filtered to ``count >=
+    2`` (non-duplicated grams, the vast majority, drop at the join;
+    probe-side hot keys are AQE-skew-splittable, which a window
+    partition is not). It costs one extra exchange of the gram stream.
+
+    MEASURED crossover (500k docs sharing one boilerplate span,
+    local[32]): the window path still wins at 5x10^5 copies of a
+    single gram (8.5-11.2 s vs 14.8-15.4 s) — a 10^6-row hot
+    partition is cheap for one task, the extra full-stream exchange
+    is not. Keep the default; reach for ``skew_preagg`` only when one
+    gram's occurrence count approaches single-task sort/memory
+    capacity (~10^7-10^8 rows), where the window partition would
+    spill or OOM and no setting can split it. Results are identical
+    (``test_dup_span_stats_preagg_path_identical``, plus the
+    brute-force parity test runs both paths)."""
     from pyspark.sql import Window
 
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
@@ -1162,16 +1175,9 @@ def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id",
         .select("doc_id", "g.pos", "g.h")
     )
     if skew_preagg:
-        per = g.groupBy("h", "doc_id").agg(
-            F.collect_list("pos").alias("ps"),
-            F.count(F.lit(1)).alias("c"))
-        dupg = (
-            per.select(
-                "doc_id", "ps",
-                F.sum("c").over(Window.partitionBy("h")).alias("c"))
-            .where(F.col("c") >= 2)
-        )
-        pos_lists = F.flatten(F.collect_list("ps"))
+        cnt = (g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+               .where(F.col("c") >= 2))
+        dupg = g.join(cnt.hint("shuffle_hash"), "h")
     else:
         dupg = (
             g.select(
@@ -1179,7 +1185,7 @@ def dup_span_stats_df(docs, n: int = _SPAN_N, id_col: str = "doc_id",
                 F.count("*").over(Window.partitionBy("h")).alias("c"))
             .where(F.col("c") >= 2)
         )
-        pos_lists = F.collect_list("pos")
+    pos_lists = F.collect_list("pos")
     cov = (
         dupg.groupBy("doc_id")
         .agg(pos_lists.alias("ps"))
