@@ -75,9 +75,10 @@ def q_corpus_keep_filter(spark, sf_dir):
       so its missing row coalesces to False.
     - ``sampled``: the deterministic per-language downsampling draw.
 
-    Scale: four more doc_id equi-joins over operators whose shapes
+    Scale: five more doc_id equi-joins over operators whose shapes
     are already scale-audited (boilerplate: agg + shuffle_hash
-    join-back; span coverage: one gram-hash count window; decontam:
+    join-back; span coverage: one gram-hash count window; LM bucket:
+    the shared-checkpoint score table + histogram window; decontam:
     broadcast bench + combinable agg; sample: zero-shuffle
     projection); all joins share the doc_id partitioning the existing
     composition pays. No new hot keys."""

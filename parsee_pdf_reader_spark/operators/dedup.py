@@ -116,6 +116,14 @@ _SIG_SQL = f"""
                  s -> md5(j::varchar || ':' || s))))
 """
 
+#: the ONE band-hash expression every DuckDB twin interpolates —
+#: minhash pairs, the verify pipeline, and the history band index all
+#: band the same way, so the arithmetic lives in exactly one string
+#: (its Spark twin is ``minhash_band_hashes``).
+_BAND_HASH_SQL = f"""md5(b::varchar || '|' ||
+                 array_to_string(list_slice(sig, b*{_BAND_R} + 1,
+                                            b*{_BAND_R} + {_BAND_R}), '|'))"""
+
 
 _MINHASH_PAIRS_SQL = f"""
     with sigs as (
@@ -124,9 +132,7 @@ _MINHASH_PAIRS_SQL = f"""
     ),
     bands as (
       select doc_id, sig, b,
-             md5(b::varchar || '|' ||
-                 array_to_string(list_slice(sig, b*{_BAND_R} + 1,
-                                            b*{_BAND_R} + {_BAND_R}), '|'))
+             {_BAND_HASH_SQL}
                  as band_hash
       from sigs, range({_BANDS}) t(b)
     )
@@ -858,9 +864,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ),
     bands as (
       select doc_id, sig, b,
-             md5(b::varchar || '|' ||
-                 array_to_string(list_slice(sig, b*{_BAND_R} + 1,
-                                            b*{_BAND_R} + {_BAND_R}), '|'))
+             {_BAND_HASH_SQL}
                  as band_hash
       from sigs, range({_BANDS}) t(b)
     ),
@@ -1246,12 +1250,16 @@ def dedup_against_index(new_docs, index_df, id_col: str = "doc_id"):
     Scale: the index is the big side (3 rows per historical doc) and
     arrives pre-partitioned on its join key from the snapshot write,
     so only the new crawl (orders of magnitude smaller) shuffles; the
-    equi-join on (b, band_hash) is shuffle_hash-pinned — broadcasting
-    a 10^12-doc index is impossible, and AQE's skew split covers a
-    viral band bucket. The per-new-doc aggregation is combinable."""
+    equi-join on (b, band_hash) is shuffle_hash-pinned with the NEW
+    CRAWL as the build side (the hinted side becomes the in-memory
+    hashed relation — hinting the index would ask every task to hold
+    its slice of a 10^12-row table; broadcasting it is equally
+    impossible), and a viral band bucket is then a PROBE-side hot
+    key, which AQE's skew split can divide. The per-new-doc
+    aggregation is combinable."""
     nb = band_index_df(new_docs, id_col).select(
         "b", "band_hash", F.col("doc_id").alias("new_id"))
-    hits = (nb.join(index_df.hint("shuffle_hash"),
+    hits = (nb.hint("shuffle_hash").join(index_df,
                     ["b", "band_hash"])
             .groupBy("new_id")
             .agg(F.count_distinct("b").alias("n_hit_bands"),
@@ -1268,9 +1276,7 @@ def dedup_against_index(new_docs, index_df, id_col: str = "doc_id"):
 
 _BANDS_CTE_SQL = f"""
     select doc_id, b,
-           md5(b::varchar || '|' ||
-               array_to_string(list_slice(sig, b*{_BAND_R} + 1,
-                                          b*{_BAND_R} + {_BAND_R}), '|'))
+           {_BAND_HASH_SQL}
                as band_hash
     from (select doc_id, {_SIG_SQL} as sig
           from (select doc_id, {_SHINGLES_SQL} as sh

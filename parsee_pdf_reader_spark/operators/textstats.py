@@ -1221,6 +1221,25 @@ def q_ngram_lm_score(spark, sf_dir):
     return ngram_lm_score_df(_t(spark, sf_dir, "documents"))
 
 
+#: shared LM score table per (session, sf): the bucket query reads the
+#: scores TWICE (histogram branch + join-back branch) and
+#: corpus_keep_filter embeds the bucket query — without sharing, the
+#: most expensive new subplan (bigram explode + two shuffled count
+#: joins + per-doc agg) would execute twice per invocation. Same
+#: pattern as the table-gate cells cache (VERDICT r5 item 7).
+_LM_CACHE: dict = {}
+
+
+def _lm_scores_once(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LM_CACHE.get(key)
+    if cached is None:
+        cached = q_ngram_lm_score(spark, sf_dir).localCheckpoint(
+            eager=True)
+        _LM_CACHE[key] = cached
+    return cached
+
+
 def _lm_buckets_sql() -> str:
     return f"""
     with s as ({_lm_score_sql()}),
@@ -1235,7 +1254,8 @@ def _lm_buckets_sql() -> str:
     ),
     tot as (select count(*) as n from documents)
     select s.doc_id, s.avg_logprob,
-           case when cum.cum <= ceil(tot.n / 3.0) then 'head'
+           case when s.n_bigrams = 0 then 'tail'
+                when cum.cum <= ceil(tot.n / 3.0) then 'head'
                 when cum.cum <= ceil(2 * tot.n / 3.0) then 'middle'
                 else 'tail' end as ppl_bucket
     from s join cum using (avg_logprob) cross join tot
@@ -1258,10 +1278,17 @@ def q_lm_ppl_buckets(spark, sf_dir):
     #distinct scores << #docs); docs join their bucket back on the
     score value, and the corpus count is a one-row broadcast. Ties at
     a boundary stay in one bucket deterministically (inclusive
-    cumulative count on the grouped value)."""
+    cumulative count on the grouped value).
+
+    Zero-evidence guard: a doc with no bigrams carries the 0.0
+    sentinel — the MAXIMUM possible value (real scores are negative
+    log-probabilities) — so without the override a single-token spam
+    doc would outrank every genuine document. No bigrams = no
+    evidence of quality: forced to 'tail' (and thus rejected by
+    ``corpus_keep_filter``'s lm_ok)."""
     from pyspark.sql import Window
 
-    s = q_ngram_lm_score(spark, sf_dir)
+    s = _lm_scores_once(spark, sf_dir)
     hist = s.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("c"))
     w = (Window.orderBy(F.desc("avg_logprob"))
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -1269,7 +1296,8 @@ def q_lm_ppl_buckets(spark, sf_dir):
     tot = (_t(spark, sf_dir, "documents")
            .agg(F.count(F.lit(1)).alias("n")))
     bucket = (
-        F.when(F.col("cum") <= F.ceil(F.col("n") / 3.0), "head")
+        F.when(F.col("n_bigrams") == 0, "tail")
+        .when(F.col("cum") <= F.ceil(F.col("n") / 3.0), "head")
         .when(F.col("cum") <= F.ceil(2 * F.col("n") / 3.0), "middle")
         .otherwise("tail"))
     return (s.join(cum, "avg_logprob")

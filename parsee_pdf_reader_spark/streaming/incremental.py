@@ -248,6 +248,18 @@ def rejoin_payload(survivors: DataFrame, docs: DataFrame) -> DataFrame:
         .select("window_start", "doc_id", "text")
 
 
+_INTERVAL_UNITS = {"second": 1, "seconds": 1, "minute": 60,
+                   "minutes": 60, "hour": 3600, "hours": 3600,
+                   "day": 86400, "days": 86400}
+
+
+def _interval_seconds(interval: str) -> int:
+    """'5 minutes' -> 300 (the subset of interval syntax the streaming
+    window parameters use)."""
+    n, unit = interval.strip().split()
+    return int(n) * _INTERVAL_UNITS[unit]
+
+
 def stream_rejoin_payload(survivors: DataFrame, docs: DataFrame,
                           window: str = "5 minutes",
                           watermark: str = "1 hour") -> DataFrame:
@@ -271,9 +283,22 @@ def stream_rejoin_payload(survivors: DataFrame, docs: DataFrame,
     stream-stream interval join, all in ONE query — the sink receives
     finalized (window_start, doc_id, text) rows with no intermediate
     table and no batch follow-up job. ``window`` must equal the window
-    used by :func:`stream_dedup_neardup` upstream."""
+    used by :func:`stream_dedup_neardup` upstream.
+
+    In-window retries: the raw stream may carry the same doc_id more
+    than once inside one window (source retry / duplicate ingest) —
+    without a guard each raw copy would join the single survivor row
+    and DUPLICATE it in the sink. The raw side therefore dedups on
+    (doc_id, window bucket) via ``dropDuplicatesWithinWatermark``
+    before the join (first arrival wins; the bucket is a plain long —
+    ``floor(unix_ts / window_seconds)``, epoch-aligned exactly like
+    ``F.window`` — because a second ``window()`` column would register
+    a second event-time column, which Spark rejects per stream)."""
     raw = (
         docs.withWatermark("ingest_ts", watermark)
+        .withColumn("_wb", F.floor(F.unix_timestamp("ingest_ts")
+                                   / _interval_seconds(window)))
+        .dropDuplicatesWithinWatermark(["doc_id", "_wb"])
         .select(F.col("doc_id").alias("raw_doc_id"),
                 F.col("ingest_ts").alias("raw_ts"), "text")
     )

@@ -37,12 +37,16 @@ def latest_snapshot_per_url(pages_df: DataFrame) -> DataFrame:
     latest and drop the stale bytes BEFORE the expensive extraction
     kernel ever runs — input-side pruning, the same reasoning as
     predicate pushdown). One window on the url key; ties on warc_ts
-    (same-second re-fetch) break deterministically by the larger
-    payload so retries cannot flip the winner."""
+    (same-second re-fetch) break by the larger payload, then by
+    content digest — a TOTAL order over distinct rows, so retries and
+    repartitioning cannot flip the winner even for same-length
+    variants (null html sorts last at every level)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.length("html")))
+        F.desc("warc_ts"),
+        F.desc(F.coalesce(F.length("html"), F.lit(-1))),
+        F.desc(F.coalesce(F.md5("html"), F.lit(""))))
     return (pages_df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
 

@@ -638,3 +638,77 @@ def test_mix_rebalance_plan_caps_and_renormalizes(spark):
     # a capped stratum's realized share falls below its target
     for r in capped:
         assert r.realized_share <= _MIX_TARGET[r.lang] + 1e-6
+
+
+def test_lm_zero_bigram_docs_forced_to_tail(spark, tmp_path):
+    """Review fix: a doc with <2 tokens carries the 0.0 sentinel — the
+    MAXIMUM possible score — and must not ride it into 'head' (and
+    through corpus_keep_filter's lm_ok): no bigrams = no evidence =
+    tail."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        _LM_CACHE, q_lm_ppl_buckets,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog again"
+    # repetition count varies per doc -> distinct scores -> all three
+    # buckets populated among the scored docs
+    rows = ([(i, " ".join([phrase] * (i + 1))) for i in range(9)]
+            + [(90, "singletoken")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    _LM_CACHE.clear()
+    out = {r.doc_id: r for r in q_lm_ppl_buckets(spark, sf).collect()}
+    assert out[90].avg_logprob == 0.0  # sentinel, max of all scores
+    assert out[90].ppl_bucket == "tail"  # ...but never 'head'
+    assert any(r.ppl_bucket == "head" for r in out.values())
+
+
+def test_lm_buckets_share_one_checkpointed_score_table(spark):
+    """Review fix: the bucket query reads the scores twice (histogram
+    + join-back) and the keep filter embeds it — the score table is
+    computed once per (session, sf) and localCheckpoint'ed, so the
+    executed plan contains no second copy of the bigram join tree."""
+    from parsee_pdf_reader_spark.operators.textstats import (
+        _LM_CACHE, q_lm_ppl_buckets,
+    )
+
+    _LM_CACHE.clear()
+    df = q_lm_ppl_buckets(spark, SF)
+    assert len(_LM_CACHE) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the checkpointed scan replaces the bigram pipeline: no shuffled
+    # count joins (w1/w2 keys) may appear in the bucket plan itself
+    assert "ShuffledHashJoin" not in plan, plan
+    q_lm_ppl_buckets(spark, SF)
+    assert len(_LM_CACHE) == 1  # reused, not rebuilt
+
+
+def test_latest_snapshot_tiebreak_total_order(spark):
+    """Review fix: same warc_ts AND same payload length must still
+    pick one deterministic winner (content-digest tie-break), under
+    any input order."""
+    import datetime
+
+    from parsee_pdf_reader_spark.training_pipeline import (
+        latest_snapshot_per_url,
+    )
+
+    t = datetime.datetime(2025, 3, 1)
+    a, b = b"payload-aaaa", b"payload-bbbb"  # same length
+    url = "https://t.example/x"
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    w1 = latest_snapshot_per_url(spark.createDataFrame(
+        [(url, t, a, "a", "en"), (url, t, b, "b", "en")],
+        schema)).collect()
+    w2 = latest_snapshot_per_url(spark.createDataFrame(
+        [(url, t, b, "b", "en"), (url, t, a, "a", "en")],
+        schema)).collect()
+    assert len(w1) == 1 and len(w2) == 1
+    assert w1[0].html == w2[0].html  # order-independent winner
+    # null html never beats a real payload
+    w3 = latest_snapshot_per_url(spark.createDataFrame(
+        [(url, t, None, "n", "en"), (url, t, a, "a", "en")],
+        schema)).collect()
+    assert w3[0].html == a

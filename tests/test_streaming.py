@@ -225,7 +225,10 @@ def test_stream_neardup_rejoin_single_query(spark, tmp_path):
     # 3 = cross-batch near-dup of 1 (same window): must drop.
     # 7 = doc 1's text REPLAYED in the next 5-min window: re-claims
     # there and must rejoin its own window's arrival.
-    b2 = [(3, mins(2), near, "en"), (7, mins(7), base, "en")]
+    # doc 2 RETRIED inside its own window: the raw-side in-window
+    # dedup must keep the sink at exactly one row for it
+    b2 = [(3, mins(2), near, "en"), (7, mins(7), base, "en"),
+          (2, mins(3), other, "en")]
     b3 = [(99, t0 + datetime.timedelta(hours=3), "late sentinel",
            "en")]
     for batch in (b1, b2, b3):
@@ -235,7 +238,9 @@ def test_stream_neardup_rejoin_single_query(spark, tmp_path):
     q = run_stream_neardup_rejoined(spark, inp, outp, ck,
                                     max_files_per_trigger=1)
     q.awaitTermination(180)
-    got = {r.doc_id: r for r in spark.read.parquet(outp).collect()}
+    allrows = spark.read.parquet(outp).collect()
+    got = {r.doc_id: r for r in allrows}
+    assert len(allrows) == len(got) == 3, allrows  # no duplicate rows
     assert set(got) == {1, 2, 7}, set(got)
     assert got[1].text == base and got[2].text == other
     # the replay's survivor row carries its OWN window + payload
