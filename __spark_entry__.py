@@ -200,12 +200,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _TAIL_TWINS = [
     "simhash_near_pairs",   # 16-bit saturation oracle; production row
     #                         is simhash_near_pairs_wide (measured) +
-    #                         tests/test_dedup.py recall pins
+    #                         test_round5_fixes.py recall pins
     "kmeans_assign",        # r=1 Lloyd; kmeans_assign_r3 (measured)
     #                         proves the iterated path cross-engine
     "set_ops_customers",    # UNION/INTERSECT/EXCEPT plumbing; exercised
     #                         by semi_anti_customer_orders (measured) +
-    #                         tests/test_relational.py
+    #                         full-registry parity in test_oracles.py
     "cube_order_revenue",   # grouping-sets twin of rollup_order_revenue
     #                         (measured); pytest-pinned
     "doc_fingerprint",      # subsumed by doc_fingerprint_cdc (measured,
@@ -230,7 +230,7 @@ _TAIL_TWINS = [
     "dedup_simhash",        # per-doc simhash signature projection; a
     #                         strict subset of simhash_near_pairs_wide
     #                         (measured: signature + banding + hamming
-    #                         verify) + tests/test_dedup.py sign pins
+    #                         verify) + test_operators.py sign pins
     "doc_sentences",        # base explode of sentence_boilerplate AND
     #                         c4_clean_text (both measured; both twins
     #                         embed the identical split SQL)
