@@ -12,6 +12,14 @@ HUGEINT which lands in pandas as float64, so ``290.0`` vs Spark's
 ``290`` is a real driver mismatch (round-1 VERDICT item 1). Ints and
 floats deliberately hash differently here for the same reason.
 
+KNOWN PROPERTY: the six golden-fixture flagship rows (extract_pages/
+pdf/web, media_decode, tables_df_format/pivot) compare against
+reference dumps pinned on the **sf0.01** corpus — running this tool at
+sf0.001 reports ~5 expected mismatches on exactly those rows (different
+corpus, same kernel). The driver's gate runs at sf0.01, where all rows
+must be green; registry operators (everything else) must be green at
+EVERY sf.
+
 Usage: python tools/check_oracles.py [sf_dir] [name_filter]
 """
 
