@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _t, register
+from parsee_pdf_reader_spark.plans.queries import _spread, _t, register
 
 # whitespace tokens, both engines
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -892,7 +892,7 @@ def q_dedup_verify_pipeline(spark, sf_dir):
     followed by EXACT Jaccard verification — candidates only, so the
     expensive set-intersection runs on ~O(dups) pairs, never O(n^2).
     This is the production dedup shape at 10^12 docs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks()
     shingles = F.when(
         F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
@@ -911,6 +911,15 @@ def q_dedup_verify_pipeline(spark, sf_dir):
         docs.select("doc_id", shingles.alias("sh"))
         .select("doc_id", "sh", minhash_sig_col(F.col("sh")).alias("sig"))
     )
+    # The plan consumes sigs FOUR times (both sides of the band
+    # self-join + the sh_a/sh_b verify join-backs), and only the band
+    # self-join's exchange is reused — the 12-slot md5 signature and
+    # the shingle array were being recomputed ~3x per row. Materialize
+    # the projection once (inside the timed query, recomputed on every
+    # invocation); at 10^12 docs this is the natural persist point of
+    # the production pipeline too (guide §5: reuse > recompute when the
+    # subtree is expensive).
+    sigs = sigs.localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id", "sig",
         F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b"),

@@ -39,6 +39,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scale-adaptive scan parallelization for compute-heavy per-row
+    stages (guide §2: partitioning must not be tuned to one scale).
+
+    The sf test tables are single-row-group parquet files, so their
+    scans are ONE task no matter the split size — a per-row md5/HOF
+    projection then runs on one core of 32. A 100 TB table arrives in
+    thousands of row groups, so this helper is a no-op there: it only
+    round-robins when the scan's native parallelism is BELOW the
+    cluster's (the repartition then moves a sub-MB table, which is
+    noise). Round-robin repartition is deterministic under retries
+    (sort-before-repartition is on by default, SPARK-23207) and every
+    consumer below is order-insensitive (min/max/count/md5 keys)."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (aggregation / join / window / dedup skeletons)
 # ---------------------------------------------------------------------------
@@ -266,23 +285,35 @@ _TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 )
 def q_doc_numeric_token_stats(spark, sf_dir):
     """The reference's numeric-cell predicates applied per token using
-    higher-order functions — NO explode, NO shuffle: a pure projection
-    the optimizer keeps entirely inside whole-stage codegen."""
-    docs = _t(spark, sf_dir, "documents")
+    higher-order functions — NO explode, NO shuffle for the stats
+    themselves: a single projection per row.
+
+    r7 shape: the token array is bound ONCE (single-element-array
+    transform, the ``bind1`` pattern of operators/dedup.py) and the
+    four statistics are emitted through one ``inline(array(struct))``
+    Generate boundary — the previous four independent output
+    expressions each re-inlined the split+filter (4x per row, HOFs run
+    interpreted with no cross-expression CSE). Value-identical, same
+    column names/types."""
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     scaled = lambda x: F.coalesce(  # noqa: E731
         F.round(S.clean_numeric_value(x) * 10000).cast("long"), F.lit(0))
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, S.is_number_cell)).alias("n_numeric"),
-        F.size(F.filter(toks, S.is_negative)).alias("n_negative"),
-        F.coalesce(
-            F.aggregate(F.transform(toks, scaled),
-                        F.lit(0).cast("long"), lambda a, x: a + x),
-            F.lit(0).cast("long"),
-        ).alias("sum_scaled"),
-    )
+
+    def stats(tk):
+        return F.struct(
+            F.size(tk).alias("n_tokens"),
+            F.size(F.filter(tk, S.is_number_cell)).alias("n_numeric"),
+            F.size(F.filter(tk, S.is_negative)).alias("n_negative"),
+            F.coalesce(
+                F.aggregate(F.transform(tk, scaled),
+                            F.lit(0).cast("long"), lambda a, x: a + x),
+                F.lit(0).cast("long"),
+            ).alias("sum_scaled"),
+        )
+
+    bound = F.element_at(F.transform(F.array(toks), stats), 1)
+    return docs.select("doc_id", F.inline(F.array(bound)))
 
 
 @register(
@@ -300,7 +331,7 @@ def q_doc_numeric_token_stats(spark, sf_dir):
 def q_clean_numeric_tokens(spark, sf_dir):
     """Token-level scalar functions (reference helper.py:19-168) as
     native column expressions over the distinct token vocabulary."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tok = (
         docs.select(F.explode(toks).alias("tok")).distinct()

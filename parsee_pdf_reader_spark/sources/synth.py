@@ -67,13 +67,17 @@ def char_width(ch: str, size: float) -> float:
     return round(0.52 * size, 2)
 
 
+#: (size) -> {ch: width in integer CENTS} for the fast _line_chars path
+_WCENTS_BY_SIZE: dict = {}
+
+
 def _rng_for(key: str, seed: int) -> np.random.Generator:
     h = hashlib.blake2b(f"{seed}:{key}".encode(), digest_size=8).digest()
     return np.random.Generator(np.random.PCG64(int.from_bytes(h, "little")))
 
 
-def _line_chars(text: str, x: float, baseline: float, size: float,
-                bold: bool = False, y_jitter: float = 0.0) -> List[Char]:
+def _line_chars_slow(text: str, x: float, baseline: float, size: float,
+                     bold: bool = False, y_jitter: float = 0.0) -> List[Char]:
     chars = []
     cx = x
     for ch in text:
@@ -87,6 +91,45 @@ def _line_chars(text: str, x: float, baseline: float, size: float,
     return chars
 
 
+def _line_chars(text: str, x: float, baseline: float, size: float,
+                bold: bool = False, y_jitter: float = 0.0) -> List[Char]:
+    """Value-identical fast path of :func:`_line_chars_slow`.
+
+    Every char width is an exact 2-decimal value (``char_width`` rounds
+    to cents), so when the line's start ``x`` sits on the cent grid the
+    rounded positions are EXACTLY ``(x_cents + cumsum(w_cents)) / 100``:
+    the slow path's float accumulation deviates from the exact decimal
+    sum by < 1e-10 per line (200 adds x 1 ulp at coord magnitude),
+    eight orders below round-half boundaries, and IEEE division by 100
+    is correctly rounded, so ``cents / 100.0`` equals
+    ``round(cx, 2)`` bit-for-bit. Off-grid starts (|x*100 - round| >
+    1e-6: the chaos generator's raw uniforms) keep the original loop —
+    pinned by tests/test_synth_fastpath.py's A/B over every corpus
+    flavour."""
+    xc = x * 100.0
+    x_cents = round(xc)
+    if abs(xc - x_cents) > 1e-6:
+        return _line_chars_slow(text, x, baseline, size, bold, y_jitter)
+    y0 = round(baseline + y_jitter, 2)
+    y1 = round(baseline + size + y_jitter, 2)
+    wc = _WCENTS_BY_SIZE.get(size)
+    if wc is None:
+        wc = _WCENTS_BY_SIZE[size] = {}
+    chars = []
+    append = chars.append
+    pos = x_cents
+    for ch in text:
+        w = wc.get(ch)
+        if w is None:
+            w = wc[ch] = round(char_width(ch, size) * 100)
+        nx = pos + w
+        append(Char(pos / 100.0, nx / 100.0, y0, y1, size,
+                    bold and ch != " ", ch))
+        pos = nx
+    return chars
+
+
+@lru_cache(maxsize=65536)
 def _text_width(text: str, size: float) -> float:
     return sum(char_width(ch, size) for ch in text)
 
@@ -544,6 +587,7 @@ def synthesize_pages_df(spark, docs_df, seed: int = 42,
     import pandas as pd
 
     def gen(batches):
+        ts_base = pd.Timestamp("2025-06-01")
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -551,6 +595,10 @@ def synthesize_pages_df(spark, docs_df, seed: int = 42,
             for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
                                           pdf["lang"]):
                 doc_id = int(doc_id)
+                # warc_ts depends only on doc_id: one Timestamp per
+                # source row, shared by all replicates
+                ts = ts_base + pd.Timedelta(seconds=doc_id % 86400)
+                lang_v = lang if lang is not None else "en"
                 for j in range(replicate):
                     key = f"doc{doc_id}" if j == 0 else f"doc{doc_id}r{j}"
                     host = (doc_id * replicate + j) % 97  # Zipf-ish hosts
@@ -558,17 +606,19 @@ def synthesize_pages_df(spark, docs_df, seed: int = 42,
                     blob, doc_text = build_document(key, seed, text)
                     blobs.append(blob)
                     texts.append(doc_text)
-                    tss.append(pd.Timestamp("2025-06-01")
-                               + pd.Timedelta(seconds=doc_id % 86400))
-                    langs.append(lang if lang is not None else "en")
+                    tss.append(ts)
+                    langs.append(lang_v)
             yield pd.DataFrame(
                 {"url": urls, "warc_ts": tss, "html": blobs,
                  "text": texts, "lang": langs})
 
     cols = docs_df.select("doc_id", "text", "lang")
     if replicate > 1:
-        # spread generation before the fan-out so executors share it
-        cols = cols.repartition(64, "doc_id")
+        # spread generation before the fan-out so executors share it;
+        # 256 hash slots (vs 64 before) cut the end-of-stage straggler
+        # tail: a slot is ~0.6 s of generation, so the last wave wastes
+        # at most that per core instead of ~2.5 s (guide §2.6)
+        cols = cols.repartition(256, "doc_id")
     return cols.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
