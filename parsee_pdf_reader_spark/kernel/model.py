@@ -116,11 +116,15 @@ class Tok:
 
     def key(self) -> Tuple[int, int, int, int, str]:
         # coords/text are immutable except through merge_in (which
-        # invalidates), so the value-identity key is cached
+        # invalidates), so the value-identity key is cached. Kernel
+        # Toks are constructed with int coords exclusively (``int(raw *
+        # mult)`` at every creation site) and merge_in only min/maxes
+        # them, so the reference's round() is the identity here and is
+        # skipped (r7 perf pass; ~4% of kernel time was these rounds).
         k = self._key
         if k is None:
-            k = self._key = (round(self.x0), round(self.x1),
-                             round(self.y0), round(self.y1), self.text)
+            k = self._key = (self.x0, self.x1, self.y0, self.y1,
+                             self.text)
         return k
 
     def merge_in(self, other: "Tok"):
@@ -165,12 +169,24 @@ class Cell:
     stable sort for equal keys), so per-add cost is O(n) join instead
     of O(n log n) sort."""
 
-    __slots__ = ("members", "x0", "x1", "y0", "y1", "text", "bold",
+    __slots__ = ("members", "x0", "x1", "y0", "y1", "_text", "bold",
                  "row", "_ordered")
 
     def __init__(self, members: List[Tok]):
         self.members = list(members)
         self.refit()
+
+    @property
+    def text(self) -> str:
+        # Lazily joined from the sorted view (r7 perf pass): ``add``
+        # used to rebuild the join per insertion — O(members^2) text
+        # bytes per cell — although many cells are only ever probed for
+        # geometry during growth. Value-identical: the join input is
+        # the same maintained ``_ordered`` list.
+        t = self._text
+        if t is None:
+            t = self._text = " ".join(m.text for m in self._ordered)
+        return t
 
     def refit(self):
         ms = self.members
@@ -181,7 +197,7 @@ class Cell:
             self.y0 = t.y0
             self.y1 = t.y1
             self._ordered = [t]
-            self.text = t.text
+            self._text = t.text
             self.bold = t.bold
             self.row = t.row  # min over one element, even if None
             return
@@ -190,7 +206,7 @@ class Cell:
         self.y0 = min((t.y0 for t in ms), default=None)
         self.y1 = max((t.y1 for t in ms), default=None)
         self._ordered = sorted(ms, key=lambda t: (t.row, t.x0))
-        self.text = " ".join(t.text for t in self._ordered)
+        self._text = None
         self.bold = any(t.bold for t in ms)
         self.row = min((t.row for t in ms), default=0)
 
@@ -209,7 +225,7 @@ class Cell:
             self.y1 = tok.y1
         bisect.insort_right(self._ordered, tok,
                             key=lambda t: (t.row, t.x0))
-        self.text = " ".join(t.text for t in self._ordered)
+        self._text = None
         if tok.bold:
             self.bold = True
         if tok.row < self.row:

@@ -28,7 +28,12 @@ from parsee_pdf_reader_spark.operators.textstats import (
     q_lm_ppl_buckets,
     q_sentence_boilerplate,
 )
-from parsee_pdf_reader_spark.plans.queries import REGISTRY, _t, register
+from parsee_pdf_reader_spark.plans.queries import (
+    REGISTRY,
+    _spread,
+    _t,
+    register,
+)
 
 _LANGS = ("en", "de", "fr", "es")  # zh excluded at these thresholds
 _LEN_LO = 100
@@ -277,7 +282,7 @@ def q_decontam_ngram_overlap(spark, sf_dir):
     suite is the deterministic ``doc_id < {B}`` slice of the documents
     table (the driver needs a self-contained oracle); production
     passes the real benchmark table as ``bench_df``."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
     train = docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
     return decontam_against(train, bench)
@@ -394,7 +399,7 @@ def q_mix_rebalance_plan(spark, sf_dir):
     corpus_token_budget shape, never the corpus."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     from parsee_pdf_reader_spark.operators.textstats import _toks_lower
 
     n_toks = F.size(_toks_lower())

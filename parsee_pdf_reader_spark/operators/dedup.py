@@ -259,7 +259,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """Shingle -> minhash -> band -> bucket-join near-dup candidates.
     Signature stage is a pure projection (no shuffle); candidate pairs
     come from the band-bucket equi-join only."""
-    return minhash_pairs_df(_t(spark, sf_dir, "documents"))
+    return minhash_pairs_df(_spread(_t(spark, sf_dir, "documents"),
+                                    spark))
 
 
 # ---------------------------------------------------------------------------
@@ -735,7 +736,7 @@ def q_dedup_simhash(spark, sf_dir):
     rows — at 63 bits, ~#distinct-hashes rows, still << corpus) joined
     back on the hash key; AQE elects a broadcast for the tiny size
     table, and the big side is never range-sorted into hash buckets."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     base = docs.select("doc_id", simhash_col(_toks()).alias("simhash16"))
     sizes = base.groupBy("simhash16").agg(
         F.count(F.lit(1)).alias("cluster_size"))
@@ -807,7 +808,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     once and the three consumers read the materialized result instead
     of recomputing the most expensive shuffle in the query three times
     (VERDICT r2 item 3; tests assert the exchange-count drop)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks()
     shingles = F.when(
         F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
@@ -1056,7 +1057,8 @@ def q_simhash_near_pairs(spark, sf_dir):
     kept at the saturating parameters deliberately so the gate also
     exercises the high-collision regime; the production
     parameterization is the ``simhash_near_pairs_wide`` row below."""
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"),
+    return simhash_near_pairs(_spread(_t(spark, sf_dir, "documents"),
+                                      spark),
                               nbits=16, band_bits=4, max_ham=3)
 
 
@@ -1069,7 +1071,8 @@ def q_simhash_near_pairs_wide(spark, sf_dir):
     ~C(n,2)/16 of the 16-bit twin. Recall stays exact: hamming <= 3 <
     4 bands pigeonholes at this width too (pinned by
     ``test_simhash_near_pairs_wide_recall``)."""
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"),
+    return simhash_near_pairs(_spread(_t(spark, sf_dir, "documents"),
+                                      spark),
                               nbits=63, band_bits=16, max_ham=3)
 
 
@@ -1222,7 +1225,7 @@ def q_dup_span_stats(spark, sf_dir):
     """Corpus-wide duplicated 16-gram span coverage per document —
     the within-corpus companion of ``decontam_ngram_overlap`` (which
     runs the same gram machinery against a held-out slice)."""
-    return dup_span_stats_df(_t(spark, sf_dir, "documents"))
+    return dup_span_stats_df(_spread(_t(spark, sf_dir, "documents"), spark))
 
 
 # ---------------------------------------------------------------------------
@@ -1321,7 +1324,7 @@ def q_dedup_against_index(spark, sf_dir):
     ``doc_id < {S}``, new crawl = the rest (deterministic split; in
     production ``index_df`` is the persisted band table of the last
     snapshot)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     hist = docs.where(F.col("doc_id") < _IDX_SPLIT)
     new = docs.where(F.col("doc_id") >= _IDX_SPLIT)
     return dedup_against_index(new, band_index_df(hist))

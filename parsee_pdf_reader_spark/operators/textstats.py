@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _t, register
+from parsee_pdf_reader_spark.plans.queries import _spread, _t, register
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
@@ -62,7 +62,7 @@ _LANG_CASE = f"""
 def q_lang_id_heuristic(spark, sf_dir):
     """Stopword-count language ID with a fixed priority tie-break
     (en > de > fr > es)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
 
     def hits(lang):
@@ -109,7 +109,7 @@ def q_lang_id_heuristic(spark, sf_dir):
 def q_doc_quality_scores(spark, sf_dir):
     """Length/punctuation/stopword quality features (the usual pretrain
     filtering signals) as one pure projection."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
     n_tokens = F.size(toks)
     text_len = F.greatest(F.length("text"), F.lit(1))
@@ -153,7 +153,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 def q_token_counts(spark, sf_dir):
     """Whitespace vs BPE-ish regex token counts (training-budget
     estimation surface)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     ws = F.size(_toks_lower())
     bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
     return docs.select(
@@ -184,7 +184,7 @@ def q_doc_fingerprint(spark, sf_dir):
     (robust to local edits), plus fingerprint-cluster sizes."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     fp = F.when(F.length("text") < 8, F.md5("text")).otherwise(
         F.array_min(
             F.transform(
@@ -228,7 +228,7 @@ def q_doc_fingerprint_cdc(spark, sf_dir):
     test_fingerprint_edit_robustness)."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     col = F.col("text")
     anchored = F.filter(
         F.sequence(F.lit(0), F.length(col) - 8),
@@ -285,7 +285,7 @@ def q_corpus_length_quantiles(spark, sf_dir):
     answers are bit-identical to the per-document ranking."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     hist = docs.groupBy("lang", "n_chars").agg(
         F.count(F.lit(1)).alias("cnt"))
     wc = (Window.partitionBy("lang").orderBy("n_chars")
@@ -333,7 +333,7 @@ def q_text_normalize(spark, sf_dir):
     collapse), collapse runs of whitespace to single spaces, trim, and
     a casefolded variant — the canonical pre-tokenization cleanup.
     Zero shuffles; codegen'd end to end."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     stripped = F.regexp_replace(
         "text", r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
     norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
@@ -396,7 +396,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     so only the tf side adds a shuffle."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
     tf = (docs.select("doc_id", F.explode(toks).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
@@ -442,7 +442,7 @@ def q_corpus_token_budget(spark, sf_dir):
     start)."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     agg = docs.groupBy("lang").agg(
         F.sum(F.size(_toks_lower())).cast("long").alias("lang_tokens"))
     wtot = Window.partitionBy()
@@ -491,7 +491,7 @@ def q_doc_repetition_stats(spark, sf_dir):
     computed entirely inside array expressions (zero shuffle); the
     top-word share explodes to (doc, token) counts — two map-side-
     combinable exchanges on doc_id, no hot keys."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
@@ -559,7 +559,7 @@ def q_text_redact_pii(spark, sf_dir):
 
     Scale: pure projection, zero shuffles; regexp_replace runs inside
     whole-stage codegen on the JVM."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     after_email = F.regexp_replace("text", _PII_EMAIL, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, _PII_IPV4, "<IP>")
     return docs.select(
@@ -608,7 +608,7 @@ def q_doc_sentences(spark, sf_dir):
     Scale: one generate (posexplode) over a projection — no shuffle;
     the ordinal comes from the split position, not a window, so the
     operation is embarrassingly parallel at any corpus size."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     sents = F.split("text", _SENT_SPLIT)
     return (docs.select(
         "doc_id", F.posexplode(sents).alias("sent_idx", "raw"))
@@ -727,7 +727,7 @@ def q_seq_pack_plan(spark, sf_dir):
     production hashes for id-skew immunity, same plan.)"""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
     base = docs.select(
         "doc_id",
@@ -796,7 +796,7 @@ def q_seq_pack_materialize(spark, sf_dir):
     token bytes) is identical cross-engine while keeping the gate
     columns scalar. The boundary-mask array shape is pinned in
     pytest."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     plan = q_seq_pack_plan(spark, sf_dir)
     packed = seq_pack_materialize(plan, docs)
     return packed.select(
@@ -918,7 +918,7 @@ def q_gopher_quality_rules(spark, sf_dir):
     lookaround) so the DuckDB twin is byte-identical."""
     from parsee_pdf_reader_spark.operators.dedup import bind1
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
     lines = F.filter(F.split("text", r"\n"),
                      lambda x: F.trim(x) != "")
@@ -1068,7 +1068,7 @@ def q_source_mix_stats(spark, sf_dir):
     corpus total enters the PLAN as a one-row broadcast cross join
     (the r5 tfidf pattern — no eager driver job, no window over a
     single partition)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     n_toks = F.size(_toks_lower())
     total = (docs.agg(F.sum(n_toks).cast("double").alias("total")))
     agg = (docs.select("source", "lang", n_toks.alias("nt"))
@@ -1218,7 +1218,8 @@ def q_ngram_lm_score(spark, sf_dir):
     """Gate row of :func:`ngram_lm_score_df` over the documents table
     (self-trained corpus statistic; production would train the counts
     on a reference corpus and score the crawl)."""
-    return ngram_lm_score_df(_t(spark, sf_dir, "documents"))
+    return ngram_lm_score_df(_spread(_t(spark, sf_dir, "documents"),
+                              spark))
 
 
 #: shared LM score table per (session, sf): the bucket query reads the

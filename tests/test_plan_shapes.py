@@ -229,14 +229,19 @@ def test_lsh_planes_parameterized(spark):
 def test_gopher_rules_zero_exchange_single_evaluation(spark):
     """Round 6: the Gopher rule set is one shuffle-free projection,
     and the token/line arrays are bound once (bind1 + inline) — the
-    physical plan has no Exchange and exactly one Generate from the
-    inline boundary."""
+    physical plan has exactly one Generate from the inline boundary
+    and no shuffle beyond the r7 scan spread (a single round-robin
+    repartition that parallelizes the single-row-group test scan; at
+    scale `_spread` is a no-op, so the rule set itself stays
+    shuffle-free)."""
     from parsee_pdf_reader_spark.operators.textstats import (
         q_gopher_quality_rules,
     )
 
     plan = _physical(q_gopher_quality_rules(spark, SF))
-    assert "Exchange" not in plan, plan
+    n_exchanges = plan.count("Exchange")
+    n_roundrobin = plan.count("Exchange RoundRobinPartitioning")
+    assert n_exchanges == n_roundrobin <= 1, plan
     assert plan.count("Generate") == 1, plan
 
 
