@@ -110,6 +110,84 @@ class ColumnarBox(Box):
         return self._lines
 
 
+class CharRun:
+    """A columnar run of single-char cells sharing (y0, y1, size) with
+    contiguous x boundaries on the cent grid: char i spans
+    ``cents[i]/100 .. cents[i+1]/100``. The corpus generator's unit of
+    text — kept columnar end to end so neither generation nor encoding
+    pays a per-char object (guide §1.2 per-task work; encode consumes
+    the cents array directly)."""
+
+    __slots__ = ("text", "cents", "y0", "y1", "size", "bold")
+
+    def __init__(self, text, cents, y0, y1, size, bold):
+        self.text = text
+        self.cents = cents  # len(text) + 1 boundaries, int cents
+        self.y0 = y0
+        self.y1 = y1
+        self.size = size
+        self.bold = bold
+
+    def __len__(self):
+        return len(self.text)
+
+    def chars(self):
+        c = self.cents
+        return [Char(c[i] / 100.0, c[i + 1] / 100.0, self.y0, self.y1,
+                     self.size, self.bold and ch != " ", ch)
+                for i, ch in enumerate(self.text)]
+
+
+class _EndChar:
+    """Minimal tail proxy: the only attribute quirk callers read off
+    ``chars[-1]`` is ``x1``."""
+
+    __slots__ = ("x1",)
+
+    def __init__(self, x1):
+        self.x1 = x1
+
+
+class RunSeq:
+    """An ordered sequence of CharRuns standing in for a list of Chars
+    (one encoded line). Supports exactly the operations the generator
+    performs on line char-lists: truthiness/len, ``+`` concatenation,
+    ``[-1].x1`` tail reads, and iteration (which materializes Chars —
+    only the stress duplicate-tokens variant iterates)."""
+
+    __slots__ = ("runs",)
+
+    def __init__(self, runs):
+        self.runs = runs
+
+    def __len__(self):
+        return sum(len(r.text) for r in self.runs)
+
+    def __add__(self, other):
+        if isinstance(other, RunSeq):
+            return RunSeq(self.runs + other.runs)
+        return self.chars() + list(other)
+
+    def __radd__(self, other):  # list[Char] + RunSeq (quirk fallback)
+        return list(other) + self.chars()
+
+    def __getitem__(self, i):
+        if i == -1:
+            r = self.runs[-1]
+            return _EndChar(r.cents[-1] / 100.0)
+        return self.chars()[i]
+
+    def __iter__(self):
+        return iter(self.chars())
+
+    def chars(self) -> List[Char]:
+        out: List[Char] = []
+        for r in self.runs:
+            out.extend(r.chars())
+        return out
+
+
+
 def encode_document(pages: List[Page]) -> bytes:
     out = [MAGIC, struct.pack("<H", len(pages))]
     for p in pages:
@@ -193,7 +271,9 @@ def encode_document_v2(pages: List[Page]) -> bytes:
         rects: List[float] = []
         n_lines: List[int] = []
         line_counts: List[int] = []
-        chars: List[Char] = []
+        #: ordered page segments, each a CharRun (columnar fast path —
+        #: the generator's native output) or a list[Char] (legacy)
+        segs: List = []
         for box in p.boxes:
             if box.kind == KIND_NONTEXT:
                 rects.extend(box.rect)
@@ -201,27 +281,106 @@ def encode_document_v2(pages: List[Page]) -> bytes:
             n_lines.append(len(box.lines))
             for line in box.lines:
                 line_counts.append(len(line))
-                chars.extend(line)
+                if isinstance(line, RunSeq):
+                    segs.extend(line.runs)
+                else:
+                    segs.append(list(line))
         out.append(np.asarray(rects, dtype="<f4").tobytes())
         out.append(np.asarray(n_lines, dtype="<u2").tobytes())
         out.append(_U32.pack(len(line_counts)))
         out.append(np.asarray(line_counts, dtype="<u2").tobytes())
-        n = len(chars)
+        # Planar columns assembled from contiguous CharRun groups with
+        # ONE numpy call per column per group (tiny per-segment arrays
+        # dominated the first cut of this path): x boundaries travel as
+        # integer cents until a single float64 division (cents/100 is
+        # the same correctly-rounded double the per-char path produced,
+        # then one f4 cast); per-segment constants (y0, y1, size)
+        # expand via np.repeat of f4-cast scalars. Legacy Char lists
+        # (chaos off-grid path, hand-built test pages) flush the group
+        # and keep the per-object reads. Bit-identical either way
+        # (tests/test_synth_fastpath + test_codec_v2).
+        x0p, x1p, y0p, y1p, szp, flp, lnp = [], [], [], [], [], [], []
+        text_parts: List[str] = []
+        n = 0
+        g_x0c: List[int] = []
+        g_x1c: List[int] = []
+        g_y0v: List[float] = []
+        g_y1v: List[float] = []
+        g_szv: List[float] = []
+        g_cnt: List[int] = []
+        g_bold: List[tuple] = []  # (offset within group, text)
+        g_n = 0
+
+        def flush_group():
+            nonlocal g_x0c, g_x1c, g_y0v, g_y1v, g_szv, g_cnt, \
+                g_bold, g_n
+            if not g_n:
+                return
+            x0p.append((np.asarray(g_x0c, dtype=np.float64)
+                        / 100.0).astype("<f4"))
+            x1p.append((np.asarray(g_x1c, dtype=np.float64)
+                        / 100.0).astype("<f4"))
+            cnts = np.asarray(g_cnt)
+            y0p.append(np.repeat(np.asarray(g_y0v, dtype="<f4"), cnts))
+            y1p.append(np.repeat(np.asarray(g_y1v, dtype="<f4"), cnts))
+            szp.append(np.repeat(np.asarray(g_szv, dtype="<f4"), cnts))
+            flags = np.zeros(g_n, dtype="u1")
+            for off, txt in g_bold:
+                flags[off:off + len(txt)] = [0 if ch == " " else 1
+                                             for ch in txt]
+            flp.append(flags)
+            lnp.append(np.ones(g_n, dtype="<u2"))
+            g_x0c = []
+            g_x1c = []
+            g_y0v = []
+            g_y1v = []
+            g_szv = []
+            g_cnt = []
+            g_bold = []
+            g_n = 0
+
+        for seg in segs:
+            if isinstance(seg, CharRun):
+                m = len(seg.text)
+                if m == 0:
+                    continue
+                n += m
+                c = seg.cents
+                g_x0c.extend(c[:-1])
+                g_x1c.extend(c[1:])
+                g_y0v.append(seg.y0)
+                g_y1v.append(seg.y1)
+                g_szv.append(seg.size)
+                g_cnt.append(m)
+                if seg.bold:
+                    g_bold.append((g_n, seg.text))
+                g_n += m
+                text_parts.append(seg.text)
+            else:
+                m = len(seg)
+                if m == 0:
+                    continue
+                flush_group()
+                n += m
+                x0p.append(np.asarray([c.x0 for c in seg], dtype="<f4"))
+                x1p.append(np.asarray([c.x1 for c in seg], dtype="<f4"))
+                y0p.append(np.asarray([c.y0 for c in seg], dtype="<f4"))
+                y1p.append(np.asarray([c.y1 for c in seg], dtype="<f4"))
+                szp.append(np.asarray([c.size for c in seg],
+                                      dtype="<f4"))
+                flp.append(np.asarray([1 if c.bold else 0 for c in seg],
+                                      dtype="u1"))
+                lnp.append(np.asarray([len(c.text) for c in seg],
+                                      dtype="<u2"))
+                text_parts.append("".join(c.text for c in seg))
+        flush_group()
         out.append(_U32.pack(n))
-        # one pass per attribute via direct slot reads (getattr-by-name
-        # profiled at ~15% of document build time)
-        out.append(np.asarray([c.x0 for c in chars], dtype="<f4").tobytes())
-        out.append(np.asarray([c.x1 for c in chars], dtype="<f4").tobytes())
-        out.append(np.asarray([c.y0 for c in chars], dtype="<f4").tobytes())
-        out.append(np.asarray([c.y1 for c in chars], dtype="<f4").tobytes())
-        out.append(np.asarray([c.size for c in chars],
-                              dtype="<f4").tobytes())
-        out.append(np.asarray([1 if c.bold else 0 for c in chars],
-                              dtype="u1").tobytes())
-        texts = [c.text for c in chars]
-        out.append(np.asarray([len(t) for t in texts],
-                              dtype="<u2").tobytes())
-        blob = "".join(texts).encode("utf-8")
+        for parts in (x0p, x1p, y0p, y1p, szp):
+            out.append(np.concatenate(parts).tobytes() if parts
+                       else b"")
+        out.append(np.concatenate(flp).tobytes() if flp else b"")
+        out.append(np.concatenate(lnp).tobytes() if lnp else b"")
+        blob = "".join(text_parts).encode("utf-8")
         out.append(_U32.pack(len(blob)))
         out.append(blob)
     return b"".join(out)

@@ -26,9 +26,11 @@ from parsee_pdf_reader_spark.sources.afm14 import (
 from parsee_pdf_reader_spark.sources.layout_codec import (
     Box,
     Char,
+    CharRun,
     KIND_CHARS,
     KIND_TEXTBOX,
     Page,
+    RunSeq,
     # PLD2: columnar, numpy-decoded — the corpus format since round 2
     # (decode feeds the kernel tokenizer column slices with no per-char
     # objects; PLD1 inputs remain fully supported via magic dispatch)
@@ -92,8 +94,9 @@ def _line_chars_slow(text: str, x: float, baseline: float, size: float,
 
 
 def _line_chars(text: str, x: float, baseline: float, size: float,
-                bold: bool = False, y_jitter: float = 0.0) -> List[Char]:
-    """Value-identical fast path of :func:`_line_chars_slow`.
+                bold: bool = False, y_jitter: float = 0.0):
+    """Value-identical fast path of :func:`_line_chars_slow`, returning
+    a columnar :class:`RunSeq` instead of per-char objects.
 
     Every char width is an exact 2-decimal value (``char_width`` rounds
     to cents), so when the line's start ``x`` sits on the cent grid the
@@ -115,18 +118,16 @@ def _line_chars(text: str, x: float, baseline: float, size: float,
     wc = _WCENTS_BY_SIZE.get(size)
     if wc is None:
         wc = _WCENTS_BY_SIZE[size] = {}
-    chars = []
-    append = chars.append
+    cents = [x_cents]
+    append = cents.append
     pos = x_cents
     for ch in text:
         w = wc.get(ch)
         if w is None:
             w = wc[ch] = round(char_width(ch, size) * 100)
-        nx = pos + w
-        append(Char(pos / 100.0, nx / 100.0, y0, y1, size,
-                    bold and ch != " ", ch))
-        pos = nx
-    return chars
+        pos += w
+        append(pos)
+    return RunSeq([CharRun(text, cents, y0, y1, size, bold)])
 
 
 @lru_cache(maxsize=65536)
@@ -232,14 +233,15 @@ class _PageBuilder:
         row_lines: List[List[Char]] = []
         if header:
             baseline = self.y - size
-            chars: List[Char] = []
+            chars = None
             parts = []
             year0 = int(rng.integers(2019, 2025))
             for k, cr in enumerate(col_rights):
                 txt = str(year0 - k)
                 w = _text_width(txt, size)
-                chars += _line_chars(txt, cr - w, baseline, size, True)
-                chars += _line_chars(" ", cr, baseline, size)
+                seg = (_line_chars(txt, cr - w, baseline, size, True)
+                       + _line_chars(" ", cr, baseline, size))
+                chars = seg if chars is None else chars + seg
                 parts.append(txt)
             row_lines.append(chars)
             self.nat_lines.append(" ".join(parts))
