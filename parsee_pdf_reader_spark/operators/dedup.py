@@ -738,6 +738,11 @@ def q_dedup_simhash(spark, sf_dir):
     table, and the big side is never range-sorted into hash buckets."""
     docs = _spread(_t(spark, sf_dir, "documents"), spark)
     base = docs.select("doc_id", simhash_col(_toks()).alias("simhash16"))
+    # r7: the signature projection feeds both the size aggregation and
+    # the join-back — materialize it once per invocation (the
+    # interpreted 16-bit fold was the whole cost of this row, and it
+    # ran twice).
+    base = base.localCheckpoint(eager=True)
     sizes = base.groupBy("simhash16").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return base.join(sizes, "simhash16").select(

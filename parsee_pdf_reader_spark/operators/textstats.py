@@ -65,11 +65,24 @@ def q_lang_id_heuristic(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
 
-    def hits(lang):
-        words = _STOPWORDS[lang]
-        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+    # r7: bind the token array ONCE and emit the four per-language hit
+    # counts through one inline(array(struct)) Generate boundary —
+    # the old shape referenced each count up to 4x (tie-break chain +
+    # total), and project collapse re-inlined the split+filter at
+    # every reference (~16 tokenizations per row). Past the Generate
+    # the counts are plain attributes, so the tie-break is free
+    # codegen. Values and column names identical.
+    def _hit(tk, words):
+        return F.size(F.filter(tk, lambda x: x.isin(*words)))
 
-    h = {lang: hits(lang) for lang in _LANG_ORDER}
+    def hit_struct(tk):
+        return F.struct(*[
+            _hit(tk, _STOPWORDS[lang]).alias(f"h_{lang}")
+            for lang in _LANG_ORDER])
+
+    bound = F.element_at(F.transform(F.array(toks), hit_struct), 1)
+    staged = docs.select("doc_id", "lang", F.inline(F.array(bound)))
+    h = {lang: F.col(f"h_{lang}") for lang in _LANG_ORDER}
     pred = (
         F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"])
                & (h["en"] >= h["es"]), "en")
@@ -77,7 +90,7 @@ def q_lang_id_heuristic(spark, sf_dir):
         .when(h["fr"] >= h["es"], "fr")
         .otherwise("es")
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         pred.alias("lang_pred"),
         (h["en"] + h["de"] + h["fr"] + h["es"]).alias("stopword_hits"),
@@ -111,12 +124,21 @@ def q_doc_quality_scores(spark, sf_dir):
     filtering signals) as one pure projection."""
     docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
-    n_tokens = F.size(toks)
+    # r7: one tokenization per row — (n_tokens, stopword hits) emitted
+    # through an inline(array(struct)) boundary; the old shape
+    # re-inlined the split+filter at every n_tokens/sw reference
+    # (~8x per row). Ratios/bucket then read plain attributes.
+    bound = F.element_at(F.transform(F.array(toks), lambda tk: F.struct(
+        F.size(tk).alias("_nt"),
+        F.size(F.filter(tk, lambda x: x.isin(*_STOPWORDS["en"])))
+        .alias("_sw"))), 1)
+    staged = docs.select("doc_id", "text", F.inline(F.array(bound)))
+    n_tokens = F.col("_nt")
+    sw = F.col("_sw")
     text_len = F.greatest(F.length("text"), F.lit(1))
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / text_len
     punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) \
         / text_len
-    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS["en"])))
     sw_ratio = sw / F.greatest(n_tokens, F.lit(1))
     mean_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) \
         / F.greatest(n_tokens, F.lit(1))
@@ -125,7 +147,7 @@ def q_doc_quality_scores(spark, sf_dir):
         .when(n_tokens >= 20, "medium")
         .otherwise("low")
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(alpha, 6).alias("alpha_ratio"),
@@ -493,10 +515,15 @@ def q_doc_repetition_stats(spark, sf_dir):
     combinable exchanges on doc_id, no hot keys."""
     docs = _spread(_t(spark, sf_dir, "documents"), spark)
     toks = _toks_lower()
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "),
-                           F.element_at(toks, i + 2)))
+    # r7: token array bound once (lambda variable) — the old shape
+    # captured the split+filter expression inside the per-gram lambda,
+    # where each element_at reference re-evaluates it (the r5 HOF
+    # hazard this repo's bind1 exists for).
+    grams = F.element_at(F.transform(F.array(toks), lambda tk:
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat(F.element_at(tk, i + 1), F.lit(" "),
+                               F.element_at(tk, i + 2)))), 1)
     g = docs.select("doc_id", grams.alias("g"))
     dup = F.when(
         F.size("g") > 0,

@@ -18,6 +18,11 @@ import os
 from pyspark.sql import SparkSession
 
 ENGINE_CONF = {
+    # zstd parquet output (guide §6): the PLD2 corpus compresses 3x
+    # smaller than snappy (474 -> 154 MB at bench scale) at equal read
+    # speed and slightly faster writes — measured A/B in
+    # OPTIMIZATION_r07.md; read-side values are unchanged.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
