@@ -30,8 +30,8 @@ from parsee_pdf_reader_spark.operators.textstats import (
 )
 from parsee_pdf_reader_spark.plans.queries import (
     REGISTRY,
-    _spread,
     _t,
+    _ts,
     register,
 )
 
@@ -282,7 +282,7 @@ def q_decontam_ngram_overlap(spark, sf_dir):
     suite is the deterministic ``doc_id < {B}`` slice of the documents
     table (the driver needs a self-contained oracle); production
     passes the real benchmark table as ``bench_df``."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
     train = docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
     return decontam_against(train, bench)
@@ -399,7 +399,7 @@ def q_mix_rebalance_plan(spark, sf_dir):
     corpus_token_budget shape, never the corpus."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     from parsee_pdf_reader_spark.operators.textstats import _toks_lower
 
     n_toks = F.size(_toks_lower())

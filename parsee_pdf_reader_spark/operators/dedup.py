@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _spread, _t, register
+from parsee_pdf_reader_spark.plans.queries import _t, _ts, register
 
 # whitespace tokens, both engines
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -259,8 +259,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """Shingle -> minhash -> band -> bucket-join near-dup candidates.
     Signature stage is a pure projection (no shuffle); candidate pairs
     come from the band-bucket equi-join only."""
-    return minhash_pairs_df(_spread(_t(spark, sf_dir, "documents"),
-                                    spark))
+    return minhash_pairs_df(_ts(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -736,7 +735,7 @@ def q_dedup_simhash(spark, sf_dir):
     rows — at 63 bits, ~#distinct-hashes rows, still << corpus) joined
     back on the hash key; AQE elects a broadcast for the tiny size
     table, and the big side is never range-sorted into hash buckets."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     base = docs.select("doc_id", simhash_col(_toks()).alias("simhash16"))
     # r7: the signature projection feeds both the size aggregation and
     # the join-back — materialize it once per invocation (the
@@ -814,7 +813,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     (VERDICT r2 item 3; r7 replaced the shingle self-join — two
     shuffles of the exploded stream — with a per-shingle ordered-pair
     expansion, safe because df is capped)."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks()
     shingles = F.when(
         F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
@@ -916,7 +915,7 @@ def q_dedup_verify_pipeline(spark, sf_dir):
     followed by EXACT Jaccard verification — candidates only, so the
     expensive set-intersection runs on ~O(dups) pairs, never O(n^2).
     This is the production dedup shape at 10^12 docs."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks()
     shingles = F.when(
         F.size(toks) < 3, F.array(F.concat_ws(" ", toks))
@@ -1080,8 +1079,7 @@ def q_simhash_near_pairs(spark, sf_dir):
     kept at the saturating parameters deliberately so the gate also
     exercises the high-collision regime; the production
     parameterization is the ``simhash_near_pairs_wide`` row below."""
-    return simhash_near_pairs(_spread(_t(spark, sf_dir, "documents"),
-                                      spark),
+    return simhash_near_pairs(_ts(spark, sf_dir, "documents"),
                               nbits=16, band_bits=4, max_ham=3)
 
 
@@ -1094,8 +1092,7 @@ def q_simhash_near_pairs_wide(spark, sf_dir):
     ~C(n,2)/16 of the 16-bit twin. Recall stays exact: hamming <= 3 <
     4 bands pigeonholes at this width too (pinned by
     ``test_simhash_near_pairs_wide_recall``)."""
-    return simhash_near_pairs(_spread(_t(spark, sf_dir, "documents"),
-                                      spark),
+    return simhash_near_pairs(_ts(spark, sf_dir, "documents"),
                               nbits=63, band_bits=16, max_ham=3)
 
 
@@ -1248,7 +1245,7 @@ def q_dup_span_stats(spark, sf_dir):
     """Corpus-wide duplicated 16-gram span coverage per document —
     the within-corpus companion of ``decontam_ngram_overlap`` (which
     runs the same gram machinery against a held-out slice)."""
-    return dup_span_stats_df(_spread(_t(spark, sf_dir, "documents"), spark))
+    return dup_span_stats_df(_ts(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1347,7 +1344,7 @@ def q_dedup_against_index(spark, sf_dir):
     ``doc_id < {S}``, new crawl = the rest (deterministic split; in
     production ``index_df`` is the persisted band table of the last
     snapshot)."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     hist = docs.where(F.col("doc_id") < _IDX_SPLIT)
     new = docs.where(F.col("doc_id") >= _IDX_SPLIT)
     return dedup_against_index(new, band_index_df(hist))

@@ -25,7 +25,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _spread, _t
+from parsee_pdf_reader_spark.plans.queries import _t, _ts
 
 
 def plant_near_dup_corpus(spark: SparkSession, docs: DataFrame,
@@ -212,7 +212,7 @@ def q_dedup_recall_exact_dups(spark, sf_dir):
         minhash_pairs_df, simhash_near_pairs,
     )
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     planted_src = docs.where(F.col("doc_id") < _PLANT_N)
     aug = docs.unionByName(planted_src.select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"))

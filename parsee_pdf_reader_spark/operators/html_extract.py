@@ -186,7 +186,7 @@ def sniff_kind_col():
 
 # --- oracle-checkable HTML scalar surface ---
 
-from parsee_pdf_reader_spark.plans.queries import _spread, _t, register  # noqa: E402
+from parsee_pdf_reader_spark.plans.queries import _t, _ts, register  # noqa: E402
 
 _WRAP_SQL = (
     "'<html><head><title>Doc ' || doc_id || '</title></head><body>"
@@ -214,7 +214,7 @@ def q_html_strip_tags(spark, sf_dir):
     Arrow kernel above, golden-tested in tests/test_html_extract.py)."""
     from pyspark.sql import functions as F
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     wrapped = F.concat(
         F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
         F.lit('</title></head><body><nav><a href="#">home</a> '

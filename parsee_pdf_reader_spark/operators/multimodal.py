@@ -20,7 +20,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _spread, _t, register
+from parsee_pdf_reader_spark.plans.queries import _t, _ts, register
 
 MEDIA_SCHEMA = ("doc_id long, kind string, media binary, "
                 "meta struct<declared_w int, declared_h int, channels int>")
@@ -146,7 +146,7 @@ def q_media_binary_stats(spark, sf_dir):
     """Binary-column handling checkable in SQL: utf-8 payload bytes,
     hex prefix, content hash (the metadata-only access pattern that
     never reads a payload at scale)."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     blob = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",
@@ -249,7 +249,7 @@ def q_media_resize_plan(spark, sf_dir):
     """Oracled twin of `resize_plan`: identical fit-within arithmetic
     over md5-derived (w, h, ch) dims. Pure projection — zero shuffles
     at any scale."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     m = F.upper(F.md5(F.col("doc_id").cast("string")))
 
     def hexv(pos):
@@ -335,7 +335,7 @@ def q_media_byte_features(spark, sf_dir):
     first position."""
     from parsee_pdf_reader_spark.operators.dedup import bind1
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     blob = F.encode("text", "utf-8")
     hx = F.hex(blob)
     n = F.least(F.octet_length(blob), F.lit(_FEAT_SAMPLE))

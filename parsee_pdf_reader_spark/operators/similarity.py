@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _spread, _t, register
+from parsee_pdf_reader_spark.plans.queries import _t, _ts, register
 
 _TOPK = 10
 #: FIXED-size query set (constant count, not a modulus of the corpus):
@@ -69,7 +69,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     carried through Arrow unchanged."""
     from pyspark.sql import Window
 
-    emb = _spread(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _ts(spark, sf_dir, "embeddings")
     to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -299,7 +299,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     LSH buckets / IVF cells); recall trades against probe count."""
     from pyspark.sql import Window
 
-    emb = _spread(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _ts(spark, sf_dir, "embeddings")
     assigned = ivf_assigned(emb)
     q = assigned.where(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -352,7 +352,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
     <= 2^8 window partitions. Now groupBy(bucket).count() (map-side
     combinable, result <= 2^nplanes tiny rows) joined back on the
     bucket key; AQE broadcasts the size table, no fat partitions."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _ts(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", lsh_bucket_col().alias("bucket"))
     sizes = base.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("bucket_size"))
@@ -385,7 +385,7 @@ def q_ann_near_dup_pairs(spark, sf_dir):
     LSH buckets generate candidates (equi-join on the bucket key —
     ~n/2^B pairs, never n^2), exact cosine verifies only candidates.
     The embedding twin of dedup_verify_pipeline."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _ts(spark, sf_dir, "embeddings")
     to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -488,7 +488,7 @@ def q_kmeans_assign(spark, sf_dir):
     key, no hot partition); the update is a map-side-combinable
     groupBy(cluster, dim) decimal sum. 10^12 vectors stream through
     one wide stage per round."""
-    return kmeans_assign_df(_spread(_t(spark, sf_dir, "embeddings"), spark))
+    return kmeans_assign_df(_ts(spark, sf_dir, "embeddings"))
 
 
 def kmeans_assign_df(emb, k=_KM_K, rounds=1):
@@ -602,7 +602,7 @@ def q_kmeans_assign_r3(spark, sf_dir):
     ``rounds`` path end to end (the r=1 row pins the base template;
     this row pins that iteration composes without cross-engine float
     drift)."""
-    return kmeans_assign_df(_spread(_t(spark, sf_dir, "embeddings"), spark),
+    return kmeans_assign_df(_ts(spark, sf_dir, "embeddings"),
                             rounds=3)
 
 
@@ -662,7 +662,7 @@ def q_semdedup_keep(spark, sf_dir):
     K-invariant. The dup count aggregates map-side on the
     high-cardinality vec_id key; the final left join shares vec_id
     partitioning."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _ts(spark, sf_dir, "embeddings")
     assigned = ivf_assigned(emb)
     a = assigned.select(F.col("vec_id").alias("a_id"),
                         F.col("embedding").alias("a_emb"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parsee_pdf_reader_spark.plans.queries import _spread, _t, register
+from parsee_pdf_reader_spark.plans.queries import _t, _ts, register
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
@@ -62,7 +62,7 @@ _LANG_CASE = f"""
 def q_lang_id_heuristic(spark, sf_dir):
     """Stopword-count language ID with a fixed priority tie-break
     (en > de > fr > es)."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks_lower()
 
     # r7: bind the token array ONCE and emit the four per-language hit
@@ -122,7 +122,7 @@ def q_lang_id_heuristic(spark, sf_dir):
 def q_doc_quality_scores(spark, sf_dir):
     """Length/punctuation/stopword quality features (the usual pretrain
     filtering signals) as one pure projection."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks_lower()
     # r7: one tokenization per row — (n_tokens, stopword hits) emitted
     # through an inline(array(struct)) boundary; the old shape
@@ -175,7 +175,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 def q_token_counts(spark, sf_dir):
     """Whitespace vs BPE-ish regex token counts (training-budget
     estimation surface)."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     ws = F.size(_toks_lower())
     bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
     return docs.select(
@@ -206,7 +206,7 @@ def q_doc_fingerprint(spark, sf_dir):
     (robust to local edits), plus fingerprint-cluster sizes."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     fp = F.when(F.length("text") < 8, F.md5("text")).otherwise(
         F.array_min(
             F.transform(
@@ -250,7 +250,7 @@ def q_doc_fingerprint_cdc(spark, sf_dir):
     test_fingerprint_edit_robustness)."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     col = F.col("text")
     anchored = F.filter(
         F.sequence(F.lit(0), F.length(col) - 8),
@@ -307,7 +307,7 @@ def q_corpus_length_quantiles(spark, sf_dir):
     answers are bit-identical to the per-document ranking."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     hist = docs.groupBy("lang", "n_chars").agg(
         F.count(F.lit(1)).alias("cnt"))
     wc = (Window.partitionBy("lang").orderBy("n_chars")
@@ -355,7 +355,7 @@ def q_text_normalize(spark, sf_dir):
     collapse), collapse runs of whitespace to single spaces, trim, and
     a casefolded variant — the canonical pre-tokenization cleanup.
     Zero shuffles; codegen'd end to end."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     stripped = F.regexp_replace(
         "text", r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
     norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
@@ -418,7 +418,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     so only the tf side adds a shuffle."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks_lower()
     tf = (docs.select("doc_id", F.explode(toks).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
@@ -464,7 +464,7 @@ def q_corpus_token_budget(spark, sf_dir):
     start)."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     agg = docs.groupBy("lang").agg(
         F.sum(F.size(_toks_lower())).cast("long").alias("lang_tokens"))
     wtot = Window.partitionBy()
@@ -513,7 +513,7 @@ def q_doc_repetition_stats(spark, sf_dir):
     computed entirely inside array expressions (zero shuffle); the
     top-word share explodes to (doc, token) counts — two map-side-
     combinable exchanges on doc_id, no hot keys."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks_lower()
     # r7: token array bound once (lambda variable) — the old shape
     # captured the split+filter expression inside the per-gram lambda,
@@ -586,7 +586,7 @@ def q_text_redact_pii(spark, sf_dir):
 
     Scale: pure projection, zero shuffles; regexp_replace runs inside
     whole-stage codegen on the JVM."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     after_email = F.regexp_replace("text", _PII_EMAIL, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, _PII_IPV4, "<IP>")
     return docs.select(
@@ -635,7 +635,7 @@ def q_doc_sentences(spark, sf_dir):
     Scale: one generate (posexplode) over a projection — no shuffle;
     the ordinal comes from the split position, not a window, so the
     operation is embarrassingly parallel at any corpus size."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     sents = F.split("text", _SENT_SPLIT)
     return (docs.select(
         "doc_id", F.posexplode(sents).alias("sent_idx", "raw"))
@@ -754,7 +754,7 @@ def q_seq_pack_plan(spark, sf_dir):
     production hashes for id-skew immunity, same plan.)"""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks_lower()
     base = docs.select(
         "doc_id",
@@ -823,7 +823,7 @@ def q_seq_pack_materialize(spark, sf_dir):
     token bytes) is identical cross-engine while keeping the gate
     columns scalar. The boundary-mask array shape is pinned in
     pytest."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     plan = q_seq_pack_plan(spark, sf_dir)
     packed = seq_pack_materialize(plan, docs)
     return packed.select(
@@ -945,7 +945,7 @@ def q_gopher_quality_rules(spark, sf_dir):
     lookaround) so the DuckDB twin is byte-identical."""
     from parsee_pdf_reader_spark.operators.dedup import bind1
 
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = _toks_lower()
     lines = F.filter(F.split("text", r"\n"),
                      lambda x: F.trim(x) != "")
@@ -1095,7 +1095,7 @@ def q_source_mix_stats(spark, sf_dir):
     corpus total enters the PLAN as a one-row broadcast cross join
     (the r5 tfidf pattern — no eager driver job, no window over a
     single partition)."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     n_toks = F.size(_toks_lower())
     total = (docs.agg(F.sum(n_toks).cast("double").alias("total")))
     agg = (docs.select("source", "lang", n_toks.alias("nt"))
@@ -1245,8 +1245,7 @@ def q_ngram_lm_score(spark, sf_dir):
     """Gate row of :func:`ngram_lm_score_df` over the documents table
     (self-trained corpus statistic; production would train the counts
     on a reference corpus and score the crawl)."""
-    return ngram_lm_score_df(_spread(_t(spark, sf_dir, "documents"),
-                              spark))
+    return ngram_lm_score_df(_ts(spark, sf_dir, "documents"))
 
 
 #: shared LM score table per (session, sf): the bucket query reads the

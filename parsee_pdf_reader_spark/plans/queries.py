@@ -58,6 +58,27 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.repartition(p)
 
 
+#: (applicationId, sf_dir, table, parallelism) -> bool(needs spread).
+#: Memoizes the PARTITION-COUNT PROBE of `_ts` only — `df.rdd` costs
+#: ~140 ms of physical planning per call, and a composed query like
+#: corpus_keep_filter constructs ~15 spread scans per invocation. The
+#: cached value is scan metadata (how many splits a parquet file
+#: yields), not data: inputs are immutable within a session, and a new
+#: session/app recomputes.
+_SPREAD_MEMO: dict = {}
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`_spread(_t(...))` with the probe memoized per (app, table)."""
+    df = _t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, sf_dir, name, p)
+    need = _SPREAD_MEMO.get(key)
+    if need is None:
+        need = _SPREAD_MEMO[key] = df.rdd.getNumPartitions() < p
+    return df.repartition(p) if need else df
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (aggregation / join / window / dedup skeletons)
 # ---------------------------------------------------------------------------
@@ -295,7 +316,7 @@ def q_doc_numeric_token_stats(spark, sf_dir):
     expressions each re-inlined the split+filter (4x per row, HOFs run
     interpreted with no cross-expression CSE). Value-identical, same
     column names/types."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     scaled = lambda x: F.coalesce(  # noqa: E731
         F.round(S.clean_numeric_value(x) * 10000).cast("long"), F.lit(0))
@@ -331,7 +352,7 @@ def q_doc_numeric_token_stats(spark, sf_dir):
 def q_clean_numeric_tokens(spark, sf_dir):
     """Token-level scalar functions (reference helper.py:19-168) as
     native column expressions over the distinct token vocabulary."""
-    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tok = (
         docs.select(F.explode(toks).alias("tok")).distinct()
